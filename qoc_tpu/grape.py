@@ -1,0 +1,265 @@
+"""Public API: ``Grape(...)`` — drop-in entry point plus TPU-native extras.
+
+Signature-compatible with the reference entry point
+(main_grape/grape.py:19): same positional arguments, same keyword defaults,
+same ``(uks, U_final)`` return.  GPU/sparse-specific knobs (``use_gpu``,
+``sparse_H/U/K``) are accepted and ignored — XLA owns placement and the MXU
+dense path is the performance path on TPU (SURVEY.md section 5, sparse row).
+
+New TPU-native keywords:
+  * ``gradient_mode``: 'exact' (autodiff through the Taylor propagator,
+    default) or 'reference' (the reference's first-order GRAPE gradient via
+    custom_vjp, tensorflow_state.py:49-142, for trajectory parity).
+  * ``engine``: 'auto' | 'associative' (parallel-in-time) | 'scan'.
+  * ``seed``: explicit RNG seed for the default random initial pulse
+    (the reference uses unseeded np.random, system_parameters.py:282).
+  * ``remat``: rematerialize propagators in the backward pass for long
+    horizons (the reference's recompute-in-backward Defun precedent,
+    tensorflow_state.py:58).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from .models.forward import make_forward
+from .models.system import ControlProblem
+from .optim.adam import init_adam_state, make_adam_optimizer, make_segment_runner
+from .optim.convergence import ConvergenceSettings, History
+from .optim.scipy_bridge import run_scipy_optimizer
+from .utils import analysis as _analysis
+from .utils.h5 import next_run_path, save_run_inputs
+
+
+class GrapeResult:
+    """Everything a run produced (the reference returns only (uks, Uf))."""
+
+    def __init__(self, uks, Uf, u_base, loss, reg_loss, unitary_scale,
+                 iterations, history, file_path, inter_vecs=None, problem=None):
+        self.uks = uks
+        self.Uf = Uf
+        self.u_base = u_base
+        self.loss = loss
+        self.reg_loss = reg_loss
+        self.unitary_scale = unitary_scale
+        self.iterations = iterations
+        self.history = history
+        self.file_path = file_path
+        self.inter_vecs = inter_vecs
+        self.problem = problem
+
+    def __iter__(self):  # allow `uks, Uf = Grape(...)` tuple unpacking
+        return iter((self.uks, self.Uf))
+
+
+def Grape(
+    H0,
+    Hops,
+    Hnames,
+    U,
+    total_time,
+    steps,
+    states_concerned_list,
+    convergence: Optional[dict] = None,
+    U0=None,
+    reg_coeffs: Optional[dict] = None,
+    dressed_info: Optional[dict] = None,
+    maxA=None,
+    use_gpu: bool = True,            # accepted for compat; ignored on TPU
+    sparse_H: bool = True,           # accepted for compat; ignored on TPU
+    sparse_U: bool = False,
+    sparse_K: bool = False,
+    draw=None,
+    initial_guess=None,
+    show_plots: bool = True,
+    unitary_error: float = 1e-4,
+    method: str = "Adam",
+    state_transfer: bool = False,
+    no_scaling: bool = False,
+    freq_unit: str = "GHz",
+    file_name: Optional[str] = None,
+    save: bool = True,
+    data_path: Optional[str] = None,
+    Taylor_terms=None,
+    use_inter_vecs: bool = True,
+    # --- TPU-native extensions ---
+    gradient_mode: str = "exact",
+    engine: str = "auto",
+    seed: Optional[int] = None,
+    remat: bool = False,
+) -> GrapeResult:
+    grape_start_time = time.time()
+
+    freq_time_unit_dict = {"GHz": "ns", "MHz": "us", "KHz": "ms", "Hz": "s"}
+    time_unit = freq_time_unit_dict[freq_unit]
+
+    file_path = None
+    if save:
+        if file_name is None:
+            raise ValueError("Grape function input: file_name, is not specified.")
+        if data_path is None:
+            raise ValueError("Grape function input: data_path, is not specified.")
+        file_path = next_run_path(data_path, file_name)
+        print("data saved at: " + str(file_path))
+
+    conv = ConvergenceSettings.from_dict(convergence)
+
+    if save:
+        save_run_inputs(
+            file_path,
+            H0=H0, Hops=Hops, Hnames=Hnames, U=U,
+            total_time=total_time, steps=steps,
+            states_concerned_list=states_concerned_list,
+            maxA=maxA, initial_guess=initial_guess, method=method,
+            convergence=convergence
+            or {"rate": conv.rate, "update_step": conv.update_step,
+                "max_iterations": conv.max_iterations,
+                "conv_target": conv.conv_target,
+                "learning_rate_decay": conv.learning_rate_decay},
+            reg_coeffs=reg_coeffs, dressed_info=dressed_info,
+        )
+
+    problem = ControlProblem.build(
+        H0, Hops, Hnames, U, total_time, steps, states_concerned_list,
+        U0=U0, dressed_info=dressed_info, maxA=maxA,
+        initial_guess=initial_guess, unitary_error=unitary_error,
+        state_transfer=state_transfer, no_scaling=no_scaling,
+        Taylor_terms=Taylor_terms, use_inter_vecs=use_inter_vecs, seed=seed,
+    )
+    print(
+        "Using %d Taylor terms and %d Scaling & Squaring terms"
+        % (problem.taylor_terms, problem.taylor_scaling)
+    )
+    if save:
+        from .utils.h5 import H5File
+
+        with H5File(file_path, "a") as hf:
+            hf.add("taylor_terms", problem.taylor_terms)
+            hf.add("taylor_scaling", problem.taylor_scaling)
+            hf.add("initial_vectors_c", problem.initial_vectors_c)
+
+    forward, loss_fn = make_forward(
+        problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
+        engine=engine, remat=remat,
+    )
+
+    history = History()
+    method_u = method.upper()
+
+    def save_step(iteration, loss, reg_loss, g2, uscale, u_base, start_time):
+        history.record(iteration, loss, reg_loss, g2, uscale)
+        if save:
+            _analysis.append_metrics(
+                file_path,
+                error=loss, reg_error=reg_loss,
+                uks=_analysis.uks_from_base(problem, u_base),
+                iteration=iteration,
+                run_time=time.time() - start_time,
+                unitary_scale=uscale,
+            )
+        if not show_plots:
+            print(
+                "Error = :%1.2e; Runtime: %.1fs; Iterations = %d, "
+                "grads =  %10.3e, unitary_metric = %.5f"
+                % (loss, time.time() - start_time, iteration, g2, uscale)
+            )
+
+    start_time = time.time()
+
+    if method_u == "EVOLVE":
+        out = forward(problem.u0_base)
+        u_base = np.asarray(problem.u0_base)
+        loss, reg_loss, uscale = (
+            float(out.loss), float(out.reg_loss), float(out.unitary_scale))
+        iterations = 0
+        save_step(0, loss, reg_loss, 0.0, uscale, u_base, start_time)
+        final_state = np.asarray(out.final_state)
+        inter_vecs = (
+            np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
+        )
+    elif method_u == "ADAM":
+        optimizer = make_adam_optimizer(conv)
+        run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)
+        state = init_adam_state(problem.u0_base, optimizer)
+        import jax.numpy as jnp
+
+        while True:
+            it = int(state.iteration)
+            stop_at = min(it + conv.update_step, conv.max_iterations + 1)
+            state = run_segment(state, jnp.asarray(stop_at, dtype=jnp.int32))
+            save_step(
+                int(state.iteration), float(state.loss),
+                float(state.reg_loss), float(state.grad_squared),
+                float(state.unitary_scale), np.asarray(state.u_base),
+                start_time,
+            )
+            if bool(state.done):
+                break
+        u_base = np.asarray(state.u_base)
+        loss, reg_loss = float(state.loss), float(state.reg_loss)
+        uscale = float(state.unitary_scale)
+        iterations = int(state.iteration)
+        out = forward(u_base)
+        final_state = np.asarray(out.final_state)
+        inter_vecs = (
+            np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
+        )
+    elif method_u in ("BFGS", "L-BFGS-B"):
+        print("Starting " + method_u + " Optimization")
+        update_step = conv.update_step
+        ncalls = {"n": 0}
+
+        def cb(iteration, loss, reg_loss, g2, uscale, u_base):
+            if iteration % update_step == 0:
+                save_step(iteration, loss, reg_loss, g2, uscale, u_base,
+                          start_time)
+
+        u_base, res = run_scipy_optimizer(
+            loss_fn, problem.u0_base, conv, method=method_u, callback=cb
+        )
+        print(method_u + " optimization done")
+        out = forward(u_base)
+        loss, reg_loss = float(out.loss), float(out.reg_loss)
+        uscale = float(out.unitary_scale)
+        iterations = int(res.get("nfev", 0))
+        if not show_plots:
+            print(res.message)
+            print("Error = %1.2e" % loss)
+            print("Total time is " + str(time.time() - start_time))
+        final_state = np.asarray(out.final_state)
+        inter_vecs = (
+            np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    # final snapshots (run_session.py:94-110)
+    uks = _analysis.uks_from_base(problem, u_base)
+    if save:
+        _analysis.append_metrics(
+            file_path, error=loss, reg_error=reg_loss, uks=uks,
+            iteration=iterations, run_time=time.time() - start_time,
+            unitary_scale=uscale,
+        )
+        _analysis.append_evolution(file_path, problem, final_state, inter_vecs)
+
+    if problem.state_transfer:
+        Uf = []
+    else:
+        Uf = _analysis.final_state_to_complex(problem, final_state)
+
+    if save:
+        from .utils.h5 import H5File
+
+        with H5File(file_path, "a") as hf:
+            hf.add("wall_clock_time", np.array(time.time() - grape_start_time))
+        print("data saved at: " + str(file_path))
+
+    return GrapeResult(
+        uks=uks, Uf=Uf, u_base=u_base, loss=loss, reg_loss=reg_loss,
+        unitary_scale=uscale, iterations=iterations, history=history,
+        file_path=file_path, inter_vecs=inter_vecs, problem=problem,
+    )

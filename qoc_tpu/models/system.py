@@ -1,0 +1,210 @@
+"""Problem preprocessing: complex Hamiltonians -> device-ready arrays.
+
+TPU-native replacement for core/system_parameters.py.  Instead of a mutable
+god-object, ``ControlProblem.build`` performs all host-side precomputation
+once and returns an immutable spec whose array fields are ready to ship to
+device:
+
+  * dt, real-isomorphism generators ``mats = [-i dt H0, -i dt H_k]``
+    (system_parameters.py:163-165, :194-251) — *without* the trailing
+    identity of the reference's matrix_list; the identity term lives inside
+    the Taylor kernel.
+  * initial/target vectors, bare or dressed (system_parameters.py:168-191);
+  * Taylor order + scaling auto-search (delegated to ops/taylor.py);
+  * the 1-Gaussian envelope mask (system_parameters.py:253-266);
+  * the initial pulse guess in base (arcsin) domain
+    (system_parameters.py:272-284), with a loud error when a guess exceeds
+    maxA (fixing the reference's max-only check, :44).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from ..ops.isomorphism import c_to_r_mat, c_to_r_vec
+from ..ops.taylor import choose_taylor_terms
+from .dressed import get_state_index, sort_ev
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlProblem:
+    """Immutable, device-ready GRAPE problem specification."""
+
+    # static configuration
+    state_num: int           # complex dimension N
+    steps: int
+    total_time: float
+    dt: float
+    ops_len: int             # number of control Hamiltonians K
+    taylor_terms: int
+    taylor_scaling: int
+    state_transfer: bool
+    use_inter_vecs: bool
+    is_dressed: bool
+
+    # arrays (host numpy; converted to jnp at jit boundaries)
+    mats: np.ndarray             # [K+1, 2N, 2N]  -i*dt*H real iso, row 0 = H0
+    U0_iso: np.ndarray           # [2N, 2N]
+    target_unitary_iso: Optional[np.ndarray]   # [2N, 2N] (unitary mode)
+    initial_vectors: np.ndarray  # [2N, V] stacked columns
+    target_vectors: np.ndarray   # [2N, V] stacked columns
+    ops_max_amp: np.ndarray      # [K]
+    one_minus_gauss: np.ndarray  # [K, T]
+    u0_base: np.ndarray          # [K, T] initial weights (base domain)
+    v_sorted_iso: Optional[np.ndarray]  # [2N, 2N] dressed rotation or None
+
+    # original complex inputs (for persistence / verification)
+    H0_c: np.ndarray = None
+    ops_c: Any = None
+    Hnames: Any = None
+    initial_vectors_c: np.ndarray = None
+    dressed_info: Any = None
+    states_concerned_list: Any = None
+
+    @staticmethod
+    def build(
+        H0,
+        Hops,
+        Hnames,
+        U,
+        total_time,
+        steps,
+        states_concerned_list,
+        U0=None,
+        dressed_info=None,
+        maxA=None,
+        initial_guess=None,
+        unitary_error: float = 1e-4,
+        state_transfer: bool = False,
+        no_scaling: bool = False,
+        Taylor_terms: Optional[Sequence[int]] = None,
+        use_inter_vecs: bool = True,
+        seed: Optional[int] = None,
+    ) -> "ControlProblem":
+        H0 = np.asarray(H0, dtype=complex)
+        Hops = [np.asarray(h, dtype=complex) for h in Hops]
+        state_num = len(H0)
+        ops_len = len(Hops)
+        dt = float(total_time) / steps
+
+        if U0 is None:
+            U0 = np.identity(state_num)
+        U0 = np.asarray(U0, dtype=complex)
+
+        # maxA defaulting (grape.py:95-101)
+        if maxA is None:
+            if initial_guess is None:
+                ops_max_amp = 4.0 * np.ones(ops_len)
+            else:
+                ops_max_amp = 1.5 * np.max(np.abs(initial_guess)) * np.ones(ops_len)
+        else:
+            ops_max_amp = np.asarray(maxA, dtype=float)
+
+        # dressed info (system_parameters.py:75-80)
+        is_dressed = False
+        v_c = dressed_id = None
+        v_sorted_iso = None
+        if dressed_info is not None:
+            v_c = np.asarray(dressed_info["eigenvectors"])
+            dressed_id = list(dressed_info["dressed_id"])
+            is_dressed = bool(dressed_info["is_dressed"])
+            if is_dressed:
+                v_sorted = sort_ev(v_c, dressed_id)
+                v_sorted_iso = c_to_r_mat(v_sorted).astype(np.float32)
+
+        # initial vectors (system_parameters.py:168-191)
+        initial_vectors = []
+        initial_vectors_c = []
+        for state in states_concerned_list:
+            if state_transfer:
+                vec_c = np.asarray(state, dtype=complex)
+            elif is_dressed:
+                vec_c = v_c[:, get_state_index(state, dressed_id)]
+            else:
+                vec_c = np.zeros(state_num, dtype=complex)
+                vec_c[state] = 1
+            initial_vectors_c.append(vec_c)
+            initial_vectors.append(c_to_r_vec(vec_c))
+        initial_vectors = np.stack(initial_vectors, axis=1).astype(np.float32)
+        initial_vectors_c = np.array(initial_vectors_c)
+
+        # targets (system_parameters.py:56-65, tensorflow_state.py:158-165)
+        if state_transfer:
+            target_unitary_iso = None
+            target_vectors = np.stack(
+                [c_to_r_vec(np.asarray(t, dtype=complex)) for t in U], axis=1
+            ).astype(np.float32)
+        else:
+            target_unitary_iso = c_to_r_mat(np.asarray(U, dtype=complex)).astype(
+                np.float32
+            )
+            target_vectors = (
+                target_unitary_iso @ initial_vectors
+            ).astype(np.float32)
+
+        # Taylor order / scaling (system_parameters.py:208-230)
+        if Taylor_terms is not None:
+            taylor_terms, taylor_scaling = int(Taylor_terms[0]), int(Taylor_terms[1])
+        else:
+            taylor_terms, taylor_scaling = choose_taylor_terms(
+                H0, Hops, ops_max_amp, U0, dt, steps, unitary_error,
+                state_transfer, no_scaling,
+            )
+
+        # generators in real iso (system_parameters.py:194-206)
+        mats = np.stack(
+            [c_to_r_mat(-1j * dt * H0)]
+            + [c_to_r_mat(-1j * dt * op) for op in Hops]
+        ).astype(np.float32)
+
+        # Gaussian envelope mask (system_parameters.py:253-266)
+        gauss = np.exp(-np.power(np.linspace(-2, 2, steps), 2.0) / 2.0)
+        shape = np.ones(steps) - gauss
+        shape = shape * (shape > 0) + 0.01
+        one_minus_gauss = np.tile(shape, (ops_len, 1)).astype(np.float32)
+
+        # initial guess (system_parameters.py:38-46, :272-284)
+        if initial_guess is not None:
+            u0 = np.asarray(initial_guess, dtype=float).reshape(ops_len, steps)
+            u0_norm = u0 / ops_max_amp[:, None]
+            if np.max(np.abs(u0_norm)) > 1.0:
+                bad = int(np.argmax(np.max(np.abs(u0_norm), axis=1)))
+                raise ValueError(
+                    f"Initial guess has strength > max_amp for op {bad}"
+                )
+            u0_base = np.arcsin(u0_norm)
+        else:
+            rng = np.random.default_rng(seed) if seed is not None else np.random
+            u0_base = rng.normal(0, 1.0 / np.sqrt(steps), (ops_len, steps))
+        u0_base = u0_base.astype(np.float32)
+
+        return ControlProblem(
+            state_num=state_num,
+            steps=int(steps),
+            total_time=float(total_time),
+            dt=dt,
+            ops_len=ops_len,
+            taylor_terms=taylor_terms,
+            taylor_scaling=taylor_scaling,
+            state_transfer=bool(state_transfer),
+            use_inter_vecs=bool(use_inter_vecs),
+            is_dressed=is_dressed,
+            mats=mats,
+            U0_iso=c_to_r_mat(U0).astype(np.float32),
+            target_unitary_iso=target_unitary_iso,
+            initial_vectors=initial_vectors,
+            target_vectors=target_vectors,
+            ops_max_amp=ops_max_amp.astype(np.float32),
+            one_minus_gauss=one_minus_gauss,
+            u0_base=u0_base,
+            v_sorted_iso=v_sorted_iso,
+            H0_c=H0,
+            ops_c=Hops,
+            Hnames=list(Hnames) if Hnames is not None else None,
+            initial_vectors_c=initial_vectors_c,
+            dressed_info=dressed_info,
+            states_concerned_list=list(states_concerned_list),
+        )

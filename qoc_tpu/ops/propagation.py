@@ -1,0 +1,259 @@
+"""Time propagation engines: scan, associative-scan, and state-transfer.
+
+The reference builds a TF1 graph with ``steps`` chained matexp nodes
+(tensorflow_state.py:204-261) — graph size O(steps), serial execution.  Here
+propagation is re-designed TPU-first:
+
+  * **Step generators** for *all* timesteps come from one einsum
+    (``weighted_hamiltonians``) and the per-step matrix exponentials are one
+    *batched* Taylor evaluation ``[T, M, M]`` — every matmul in the series is
+    a T-way batched MXU op instead of T small serial ones.
+  * **Unitary chain** has two interchangeable engines:
+      - ``associative``: ``lax.associative_scan`` over batched matmul —
+        O(log T) depth, all compute batched on the MXU.  This is the
+        parallel-in-time option SURVEY.md section 5 calls out; it is the
+        default for small/medium dimensions where the extra O(T log T) matmul
+        flops are free compared to the serial latency chain.
+      - ``scan``: ``lax.scan`` carrying (U, psi) — flops-optimal for large M.
+  * **State transfer** is a ``lax.scan`` of Taylor mat-vecs (cheap; never
+    forms the unitary), mirroring tensorflow_state.py:244-261.
+
+Gradient modes:
+  * ``exact``  — plain JAX autodiff through the batched series (the forward
+    approximant's true derivative).
+  * ``reference`` — ``jax.custom_vjp`` replicating the reference's
+    first-order GRAPE gradient for the coefficients
+    (tensorflow_state.py:61-63, :112-114) and the adjoint ``exp(-A)``
+    back-propagation of the state cotangent (:118-133), so optimization
+    trajectories can be compared against the reference step-for-step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .expm import HIGHEST, _bmm, taylor_expm, taylor_expm_matvec, weighted_hamiltonians
+
+
+# ---------------------------------------------------------------------------
+# Step propagators (batched over time)
+# ---------------------------------------------------------------------------
+
+
+def step_propagators(mats, weights, order: int, scaling: int):
+    """All per-timestep propagators ``P_t = exp(sum_k w[k,t] mats[k])``.
+
+    mats: [K, M, M]; weights: [K, T]  ->  [T, M, M]
+    """
+    A = weighted_hamiltonians(mats, weights)
+    return taylor_expm(A, order, scaling)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def step_propagators_ref_grad(mats, weights, order: int, scaling: int):
+    """Batched step propagators with the *reference's* approximate gradient.
+
+    Forward identical to ``step_propagators``.  Backward implements
+    matexp_op_grad (tensorflow_state.py:49-65):
+        dL/dw[k,t] = sum_ij  Gbar[t] * (mats[k] @ P[t]),   k >= 1
+        dL/dw[0,t] = 0      (drift weight gets zero gradient, :54)
+        dL/dmats   = 0      (:65)
+    """
+    return step_propagators(mats, weights, order, scaling)
+
+
+def _step_ref_fwd(mats, weights, order, scaling):
+    P = step_propagators(mats, weights, order, scaling)
+    return P, (mats, P)
+
+
+def _step_ref_bwd(order, scaling, res, G):
+    mats, P = res
+    # X[t] = G[t] @ P[t]^T ;  wbar[k,t] = sum_ij mats[k,i,j] X[t,i,j]
+    X = jnp.einsum("tim,tjm->tij", G, P, precision=HIGHEST)
+    wbar = jnp.einsum("kij,tij->kt", mats, X, precision=HIGHEST)
+    wbar = wbar.at[0, :].set(0.0)
+    return (jnp.zeros_like(mats), wbar)
+
+
+step_propagators_ref_grad.defvjp(_step_ref_fwd, _step_ref_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Unitary-mode chains
+# ---------------------------------------------------------------------------
+
+
+def chain_associative(P, U0, psi0):
+    """Cumulative products via parallel-in-time associative scan.
+
+    P: [T, M, M] step propagators; U0: [M, M]; psi0: [M, V].
+    Returns (final_U [M,M], inter_vecs [T+1, M, V]).
+
+    inter_states[t] = P_t @ ... @ P_0 @ U0   (tensorflow_state.py:214-220)
+    """
+    cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
+    cumU = _bmm(cum, U0)  # [T, M, M]
+    final_U = cumU[-1]
+    vecs = _bmm(cumU, psi0)  # [T, M, V]
+    inter_vecs = jnp.concatenate([psi0[None], vecs], axis=0)
+    return final_U, inter_vecs
+
+
+def chain_scan(P, U0, psi0, unroll: int = 1):
+    """Serial scan chain carrying (U, psi) — flops-optimal for large M."""
+
+    def body(carry, Pt):
+        U, psi = carry
+        U = _bmm(Pt, U)
+        psi = _bmm(Pt, psi)
+        return (U, psi), psi
+
+    (final_U, _), vecs = lax.scan(body, (U0, psi0), P, unroll=unroll)
+    inter_vecs = jnp.concatenate([psi0[None], vecs], axis=0)
+    return final_U, inter_vecs
+
+
+def chain_scan_novecs(P, U0, unroll: int = 1):
+    """Serial chain without intermediate vectors (use_inter_vecs=False)."""
+
+    def body(U, Pt):
+        return _bmm(Pt, U), None
+
+    final_U, _ = lax.scan(body, U0, P, unroll=unroll)
+    return final_U
+
+
+# ---------------------------------------------------------------------------
+# State-transfer chain
+# ---------------------------------------------------------------------------
+
+
+def _matvec_step(A, psi, order: int):
+    return taylor_expm_matvec(A, psi, order)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _matvec_step_ref(mats, w_t, psi, order: int):
+    """One state-transfer step with the reference's custom gradient.
+
+    Forward: psi' = exp(A_t) psi with A_t = sum_k w_t[k] mats[k], Taylor
+    order ``order-1`` (tensorflow_state.py:77-97).
+    Backward (matvecexp_op_grad, :100-133):
+        wbar[k]  = sum( Gbar * (mats[k] @ psi') ),  k >= 1;  wbar[0] = 0
+        psibar   = exp(-A_t) Gbar   (adjoint evolution of the cotangent)
+    """
+    A = jnp.einsum("k,kij->ij", w_t, mats, precision=HIGHEST)
+    return taylor_expm_matvec(A, psi, order)
+
+
+def _matvec_ref_fwd(mats, w_t, psi, order):
+    A = jnp.einsum("k,kij->ij", w_t, mats, precision=HIGHEST)
+    out = taylor_expm_matvec(A, psi, order)
+    return out, (mats, w_t, out)
+
+
+def _matvec_ref_bwd(order, res, G):
+    mats, w_t, out = res
+    Hk_out = jnp.einsum("kij,jv->kiv", mats, out, precision=HIGHEST)
+    wbar = jnp.einsum("kiv,iv->k", Hk_out, G, precision=HIGHEST)
+    wbar = wbar.at[0].set(0.0)
+    A_neg = jnp.einsum("k,kij->ij", -w_t, mats, precision=HIGHEST)
+    psibar = taylor_expm_matvec(A_neg, G, order)
+    return (jnp.zeros_like(mats), wbar, psibar)
+
+
+_matvec_step_ref.defvjp(_matvec_ref_fwd, _matvec_ref_bwd)
+
+
+def state_transfer_chain(
+    mats,
+    weights,
+    psi0,
+    order: int,
+    gradient_mode: str = "exact",
+    remat: bool = False,
+):
+    """Evolve stacked state vectors through all timesteps.
+
+    mats: [K, M, M]; weights: [K, T]; psi0: [M, V].
+    Returns inter_vecs [T+1, M, V]; final state is inter_vecs[-1]
+    (tensorflow_state.py:244-261).
+    """
+    if gradient_mode == "reference":
+
+        def body(psi, w_t):
+            psi = _matvec_step_ref(mats, w_t, psi, order)
+            return psi, psi
+
+    else:
+
+        def body(psi, w_t):
+            A = jnp.einsum("k,kij->ij", w_t, mats, precision=HIGHEST)
+            psi = _matvec_step(A, psi, order)
+            return psi, psi
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, vecs = lax.scan(body, psi0, weights.T)
+    return jnp.concatenate([psi0[None], vecs], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Full forward model
+# ---------------------------------------------------------------------------
+
+
+def evolve_unitary(
+    mats,
+    weights,
+    U0,
+    psi0,
+    order: int,
+    scaling: int,
+    gradient_mode: str = "exact",
+    engine: str = "associative",
+    use_inter_vecs: bool = True,
+    remat: bool = False,
+):
+    """Unitary-mode forward: returns (final_U, inter_vecs or None).
+
+    The per-step generator coefficients are pre-divided by 2**scaling
+    (tensorflow_state.py:31) inside ``taylor_expm``.
+    """
+    if gradient_mode == "reference":
+        P = step_propagators_ref_grad(mats, weights, order, scaling)
+    else:
+        if remat:
+            P = jax.checkpoint(
+                lambda m, w: step_propagators(m, w, order, scaling)
+            )(mats, weights)
+        else:
+            P = step_propagators(mats, weights, order, scaling)
+
+    if not use_inter_vecs:
+        final_U = chain_scan_novecs(P, U0) if engine == "scan" else None
+        if final_U is None:
+            cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
+            final_U = _bmm(cum[-1], U0)
+        return final_U, None
+
+    if engine == "associative":
+        return chain_associative(P, U0, psi0)
+    return chain_scan(P, U0, psi0)
+
+
+def pick_engine(dim_real: int, steps: int) -> str:
+    """Heuristic: parallel-in-time wins while T copies of [M,M] fit easily.
+
+    The associative scan stores O(T) MxM cumulative products; cap the
+    working set around 1 GiB of float32 before falling back to the serial
+    (flops-optimal) scan.
+    """
+    bytes_needed = 4 * steps * dim_real * dim_real * 3  # P, cum, vjp slack
+    return "associative" if bytes_needed < (1 << 30) else "scan"

@@ -1,0 +1,204 @@
+"""Pod-scale batched GRAPE: many seeds / Hamiltonian sweeps per step.
+
+The per-chip speed story for GRAPE on TPU is batching: a single 2Nx2N
+matrix exponential underutilizes the 128x128 MXU, so we vmap whole
+optimizations over a seed axis (and optionally a Hamiltonian-parameter
+axis) and shard that axis over a device mesh.  Each seed keeps its own
+Adam state and its own convergence flag (per-seed early-stop masks —
+converged seeds freeze while the batch keeps stepping); aggregate metrics
+are jnp reductions that XLA lowers to psum over ICI when sharded.
+
+There is no reference analog (SURVEY.md section 2.7): this layer is the
+new capability the BASELINE.json pod-scale config targets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.forward import make_forward
+from ..models.system import ControlProblem
+from ..optim.adam import make_adam_optimizer
+from ..optim.convergence import ConvergenceSettings
+from .mesh import BATCH_AXIS, batch_sharding, make_mesh
+
+
+class BatchState(NamedTuple):
+    u_base: jnp.ndarray        # [S, K, T]
+    opt_state: optax.OptState  # vmapped over S
+    iteration: jnp.ndarray     # [] global iteration counter
+    loss: jnp.ndarray          # [S]
+    reg_loss: jnp.ndarray      # [S]
+    grad_squared: jnp.ndarray  # [S]
+    done: jnp.ndarray          # [S] bool
+
+
+def init_seeds(
+    problem: ControlProblem, n_seeds: int, key: jax.Array
+) -> jnp.ndarray:
+    """Per-seed random initial pulses, stddev 1/sqrt(steps)
+    (system_parameters.py:278-282), with explicit jax.random keys."""
+    return (
+        jax.random.normal(
+            key, (n_seeds, problem.ops_len, problem.steps), dtype=jnp.float32
+        )
+        / np.sqrt(problem.steps)
+    )
+
+
+def make_batched_runner(
+    problem: ControlProblem,
+    conv: ConvergenceSettings,
+    reg_coeffs: Optional[dict] = None,
+    gradient_mode: str = "exact",
+    engine: str = "auto",
+    remat: bool = False,
+    sweep_mats: bool = False,
+    mesh=None,
+):
+    """Build (init_state, run_segment) for S-way batched Adam.
+
+    If ``sweep_mats``, the runner's state carries per-seed generator stacks
+    ``mats [S, K+1, M, M]`` (a Hamiltonian parameter sweep); otherwise all
+    seeds share the problem's generators.
+    """
+    _, loss_fn = make_forward(
+        problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
+        engine=engine, remat=remat,
+    )
+    optimizer = make_adam_optimizer(conv)
+
+    def seed_metrics(u_base, mats_in):
+        (reg_loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            u_base, mats_in
+        )
+        g2 = 0.5 * jnp.sum(jnp.square(grads))
+        return out.loss, reg_loss, g2, grads
+
+    def seed_update(u_base, opt_state, grads, done):
+        updates, new_opt = optimizer.update(grads, opt_state, u_base)
+        new_u = optax.apply_updates(u_base, updates)
+        u = jnp.where(done, u_base, new_u)
+        opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), new_opt, opt_state
+        )
+        return u, opt
+
+    v_metrics = jax.vmap(seed_metrics, in_axes=(0, 0 if sweep_mats else None))
+    v_update = jax.vmap(seed_update, in_axes=(0, 0, 0, 0))
+
+    def init_state(u_bases: jnp.ndarray) -> BatchState:
+        S = u_bases.shape[0]
+        opt_state = jax.vmap(optimizer.init)(u_bases)
+        inf = jnp.full((S,), jnp.inf, dtype=jnp.float32)
+        return BatchState(
+            u_base=jnp.asarray(u_bases),
+            opt_state=opt_state,
+            iteration=jnp.asarray(0, dtype=jnp.int32),
+            loss=inf, reg_loss=inf, grad_squared=inf,
+            done=jnp.zeros((S,), dtype=bool),
+        )
+
+    def cond(carry):
+        s, stop_at, _ = carry
+        return jnp.logical_and(jnp.any(~s.done), s.iteration < stop_at)
+
+    def body(carry):
+        s, stop_at, mats_b = carry
+        loss, reg_loss, g2, grads = v_metrics(s.u_base, mats_b)
+        converged = (
+            (loss < conv.conv_target)
+            | (g2 < conv.min_grad)
+            | (s.iteration >= conv.max_iterations)
+            | s.done
+        )
+        done_b = converged[:, None, None]
+        u, opt = v_update(s.u_base, s.opt_state, grads, done_b)
+        return (
+            BatchState(u, opt, s.iteration + 1, loss, reg_loss, g2, converged),
+            stop_at,
+            mats_b,
+        )
+
+    def _run(state: BatchState, stop_at, mats_b):
+        out, _, _ = jax.lax.while_loop(cond, body, (state, stop_at, mats_b))
+        return out
+
+    # Sharding is carried by the operands (device_put on the seed axis in
+    # batched_grape_adam); jit propagates it through the while_loop, and XLA
+    # inserts the ICI collectives for the any()/all() reductions.
+    run_segment = jax.jit(_run)
+
+    return init_state, run_segment
+
+
+def batched_grape_adam(
+    problem: ControlProblem,
+    n_seeds: int,
+    convergence: Optional[dict] = None,
+    reg_coeffs: Optional[dict] = None,
+    seed: int = 0,
+    mesh=None,
+    mats_batch: Optional[np.ndarray] = None,
+    gradient_mode: str = "exact",
+    engine: str = "auto",
+    progress: Optional[Callable] = None,
+):
+    """Optimize ``n_seeds`` independent pulse initializations in parallel.
+
+    Returns a dict with per-seed losses, pulses, iteration counts, and the
+    best seed's physical pulse amplitudes.  With ``mesh`` given, the seed
+    axis is sharded over the mesh devices (data-parallel over ICI/DCN).
+    With ``mats_batch`` given ([S, K+1, 2N, 2N]), each seed optimizes a
+    different Hamiltonian (parameter sweep).
+    """
+    conv = ConvergenceSettings.from_dict(convergence)
+    sweep = mats_batch is not None
+    init_state, run_segment = make_batched_runner(
+        problem, conv, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
+        engine=engine, sweep_mats=sweep, mesh=mesh,
+    )
+    key = jax.random.PRNGKey(seed)
+    u_bases = init_seeds(problem, n_seeds, key)
+    mats_b = jnp.asarray(mats_batch) if sweep else None
+
+    if mesh is not None:
+        shard = batch_sharding(mesh)
+        u_bases = jax.device_put(u_bases, shard)
+        if sweep:
+            mats_b = jax.device_put(mats_b, shard)
+
+    state = init_state(u_bases)
+    while True:
+        stop_at = jnp.asarray(
+            min(int(state.iteration) + conv.update_step,
+                conv.max_iterations + 1),
+            dtype=jnp.int32,
+        )
+        state = run_segment(state, stop_at, mats_b)
+        if progress is not None:
+            progress(int(state.iteration), np.asarray(state.loss),
+                     np.asarray(state.done))
+        if bool(jnp.all(state.done)) or int(state.iteration) > conv.max_iterations:
+            break
+
+    losses = np.asarray(state.loss)
+    best = int(np.argmin(losses))
+    max_amp = np.asarray(problem.ops_max_amp)[None, :, None]
+    uks_all = max_amp * np.sin(np.asarray(state.u_base))
+    return {
+        "losses": losses,
+        "reg_losses": np.asarray(state.reg_loss),
+        "iterations": int(state.iteration),
+        "u_base": np.asarray(state.u_base),
+        "uks": uks_all,
+        "best_seed": best,
+        "best_uks": uks_all[best],
+        "best_loss": float(losses[best]),
+        "converged": np.asarray(state.done),
+    }
