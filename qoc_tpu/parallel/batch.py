@@ -81,6 +81,8 @@ def make_batched_runner(
         return out.loss, reg_loss, g2, grads
 
     def seed_update(u_base, opt_state, grads, done):
+        # ``done`` is a per-seed scalar bool (vmapped), so jnp.where
+        # broadcasts against leaves of any rank without reshaping them.
         updates, new_opt = optimizer.update(grads, opt_state, u_base)
         new_u = optax.apply_updates(u_base, updates)
         u = jnp.where(done, u_base, new_u)
@@ -117,8 +119,7 @@ def make_batched_runner(
             | (s.iteration >= conv.max_iterations)
             | s.done
         )
-        done_b = converged[:, None, None]
-        u, opt = v_update(s.u_base, s.opt_state, grads, done_b)
+        u, opt = v_update(s.u_base, s.opt_state, grads, converged)
         return (
             BatchState(u, opt, s.iteration + 1, loss, reg_loss, g2, converged),
             stop_at,

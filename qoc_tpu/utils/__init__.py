@@ -1,1 +1,1 @@
-from . import analysis, h5
+from . import analysis, h5, verification

@@ -1,0 +1,119 @@
+"""Independent differential verification of saved runs.
+
+Plays the role of helper_functions/qutip_verification.py:5-86: re-simulate
+the optimized pulses stored in a run file with an *independent* integrator
+and compare the stored intermediate states.  Two oracles:
+
+  * ``scipy`` (always available): dense piecewise-constant propagation with
+    ``scipy.linalg.expm`` in float64 — a different algorithm (Pade) and a
+    different precision from the on-device Taylor kernel.
+  * ``qutip`` (if importable): ``qt.sesolve`` ODE integration, byte-for-byte
+    the reference's own oracle construction (piecewise-constant uk lookup,
+    qutip_verification.py:51-64).
+
+Both read the identical h5 schema the reference writes (H0, Hops,
+total_time, steps, uks[-1], inter_vecs_raw_{real,imag}[-1],
+initial_vectors_c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as la
+
+from .h5 import H5File
+
+
+def _load_run(datafile: str):
+    import h5py
+
+    with h5py.File(datafile, "r") as hf:
+        gate_time = float(np.array(hf.get("total_time")))
+        gate_steps = int(np.array(hf.get("steps")))
+        H0 = np.array(hf.get("H0"))
+        Hops = np.array(hf.get("Hops"))
+        initial_vectors_c = np.array(hf.get("initial_vectors_c"))
+        uks = np.array(hf.get("uks"))[-1]
+        ivr = np.array(hf.get("inter_vecs_raw_real"))[-1]
+        ivi = np.array(hf.get("inter_vecs_raw_imag"))[-1]
+    return gate_time, gate_steps, H0, Hops, initial_vectors_c, uks, ivr + 1j * ivi
+
+
+def scipy_oracle_states(H0, Hops, uks, total_time, steps, psi0_c):
+    """Dense float64 piecewise-constant propagation (independent of the
+    Taylor kernel): psi_{t+1} = expm(-i dt (H0 + sum_k u[k,t] H_k)) psi_t."""
+    dt = total_time / steps
+    psi = np.asarray(psi0_c, dtype=complex)
+    states = [psi]
+    for t in range(steps):
+        H = np.asarray(H0, dtype=complex)
+        for k in range(len(Hops)):
+            H = H + uks[k, t] * np.asarray(Hops[k], dtype=complex)
+        psi = la.expm(-1j * dt * H) @ psi
+        states.append(psi)
+    return np.stack(states, axis=1)  # [N, steps+1]
+
+
+def verify_run(datafile: str, atol: float = 1e-4, oracle: str = "scipy"):
+    """Compare stored intermediate states against an independent solver.
+
+    Returns dict {max_abs_diff: [...], all_close: [...]}, one entry per
+    initial vector — the reference's report shape
+    (qutip_verification.py:82-86).
+    """
+    gate_time, steps, H0, Hops, init_vecs, uks, inter_vecs = _load_run(datafile)
+
+    max_abs_diff_list, all_close_list = [], []
+    for vid in range(len(init_vecs)):
+        psi0 = init_vecs[vid]
+        if oracle == "qutip":
+            states = _qutip_states(H0, Hops, uks, gate_time, steps, psi0)
+        else:
+            states = scipy_oracle_states(H0, Hops, uks, gate_time, steps, psi0)
+        stored = inter_vecs[vid]  # [N, steps+1]
+        abs_diff = np.abs(states) - np.abs(stored)
+        max_abs_diff_list.append(float(np.max(np.abs(abs_diff))))
+        all_close_list.append(bool(np.allclose(states, stored, atol=atol)))
+    return {"max_abs_diff": max_abs_diff_list, "all_close": all_close_list}
+
+
+def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c):
+    """QuTiP sesolve oracle, reference construction
+    (qutip_verification.py:35-71).  Requires qutip to be installed."""
+    import qutip as qt
+
+    tlist = np.linspace(0, gate_time, steps + 1)
+    dt = gate_time / steps
+    uks_pad = np.hstack([uks, np.zeros((uks.shape[0], 1))])
+
+    def make_get_uks_func(idx):
+        def _fn(t, args=None):
+            return uks_pad[idx][int(t / dt)]
+
+        return _fn
+
+    Ht_list = [qt.Qobj(H0)]
+    for k in range(len(Hops)):
+        Ht_list.append([qt.Qobj(Hops[k]), make_get_uks_func(k)])
+    out = qt.sesolve(Ht_list, qt.Qobj(psi0_c), tlist, [])
+    states = np.array([s.full() for s in out.states])[:, :, 0]
+    return np.transpose(states)
+
+
+def qutip_verification(datafile: str, atol: float):
+    """Reference-compatible entry point (qutip_verification.py:5); falls
+    back to the scipy oracle when qutip is unavailable."""
+    try:
+        import qutip  # noqa: F401
+
+        oracle = "qutip"
+    except ImportError:
+        oracle = "scipy"
+    result = verify_run(datafile, atol=atol, oracle=oracle)
+    print("simulation verification result for each initial state (%s oracle)"
+          % oracle)
+    print("================================================")
+    print("max abs diff: " + str(result["max_abs_diff"]))
+    print("all close: " + str(result["all_close"]))
+    print("================================================")
+    return result

@@ -1,0 +1,154 @@
+"""Integration tests: the BASELINE.json configs end-to-end through Grape().
+
+These mirror the reference's de-facto regression suite (its examples,
+SURVEY.md section 4.3): qubit pi pulse, Hadamard/CNOT unitaries, transmon
+with leakage + forbidden states.  Kept small enough for fast CPU runs.
+"""
+
+import numpy as np
+import pytest
+
+import qoc_tpu as q
+
+
+H0_QUBIT = np.zeros((2, 2), dtype=complex)
+
+
+def run_pi_pulse(method="Adam", **kw):
+    return q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=False, show_plots=False,
+        convergence={"rate": 0.01, "update_step": 50,
+                     "max_iterations": 1000, "conv_target": 1e-4},
+        maxA=[0.7, 0.7], seed=0, method=method, **kw,
+    )
+
+
+def test_pi_pulse_adam():
+    res = run_pi_pulse("Adam")
+    assert res.loss < 1e-4
+    assert res.uks.shape == (2, 100)
+    assert np.max(np.abs(res.uks)) <= 0.7 + 1e-6
+    # tuple-unpack compatibility with the reference return convention
+    uks, Uf = res
+    assert np.array_equal(uks, res.uks)
+
+
+def test_pi_pulse_lbfgs():
+    res = run_pi_pulse("L-BFGS-B")
+    assert res.loss < 1e-4
+
+
+def test_pi_pulse_evolve():
+    res = run_pi_pulse("EVOLVE")
+    assert res.iterations == 0
+    assert 0.0 <= res.loss <= 1.0 + 1e-6
+
+
+def test_pi_pulse_reference_gradient():
+    res = run_pi_pulse("Adam", gradient_mode="reference")
+    assert res.loss < 1e-4
+
+
+def test_hadamard_unitary_mode():
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y, q.SIGMA_Z], ["x", "y", "z"],
+        q.hadamard(1), 10.0, 100, [0, 1],
+        save=False, show_plots=False,
+        convergence={"rate": 0.02, "update_step": 100,
+                     "max_iterations": 1500, "conv_target": 1e-5},
+        maxA=[1.0] * 3, seed=0, method="Adam",
+    )
+    assert res.loss < 1e-5
+    # final unitary implements Hadamard up to global phase on the qubit
+    Uf = res.Uf
+    F = np.abs(np.trace(q.hadamard(1).conj().T @ Uf)) / 2
+    assert F > 1 - 1e-2
+    assert abs(res.unitary_scale - 1.0) < 1e-3
+
+
+def test_cnot_with_smoothness_regs():
+    """Two-qubit CNOT with dwdt + envelope penalties (BASELINE config 2)."""
+    d = 4
+    H0 = np.zeros((d, d), dtype=complex)
+    XI = np.kron(q.SIGMA_X, np.eye(2))
+    IX = np.kron(np.eye(2), q.SIGMA_X)
+    YI = np.kron(q.SIGMA_Y, np.eye(2))
+    XX = np.kron(q.SIGMA_X, q.SIGMA_X)
+    CNOT = np.eye(4)[:, [0, 1, 3, 2]].astype(complex)
+    res = q.Grape(
+        H0, [XI, IX, YI, XX], ["xi", "ix", "yi", "xx"], CNOT,
+        12.0, 120, [0, 1, 2, 3],
+        reg_coeffs={"dwdt": 0.001, "envelope": 0.0001},
+        save=False, show_plots=False,
+        convergence={"rate": 0.02, "update_step": 200,
+                     "max_iterations": 2000, "conv_target": 1e-4},
+        maxA=[1.0] * 4, seed=1, method="Adam",
+    )
+    assert res.loss < 1e-3
+    assert res.reg_loss >= res.loss  # penalties are additive
+
+
+def test_transmon_leakage_forbidden():
+    """5-level qudit X gate with forbidden levels 2-4 (BASELINE config 3)."""
+    levels = 5
+    a = q.annihilate(levels)
+    H0 = 2 * np.pi * (-0.2) / 2 * (a.conj().T @ a.conj().T @ a @ a)
+    drive_x = a + a.conj().T
+    drive_y = 1j * (a - a.conj().T)
+    X = q.transmon_gate(q.SIGMA_X, levels)
+    res = q.Grape(
+        H0, [drive_x, drive_y], ["x", "y"], X, 6.0, 120, [0, 1],
+        reg_coeffs={"forbidden_coeff_list": [10.0, 10.0, 10.0],
+                    "states_forbidden_list": [2, 3, 4]},
+        save=False, show_plots=False,
+        convergence={"rate": 0.02, "update_step": 200,
+                     "max_iterations": 2000, "conv_target": 1e-3},
+        maxA=[2.0, 2.0], seed=0, method="Adam",
+    )
+    assert res.loss < 1e-2
+    # leakage population must stay small at all times
+    pops = np.sum(res.inter_vecs[:, 2:5, :] ** 2
+                  + res.inter_vecs[:, 7:10, :] ** 2, axis=1)
+    assert np.max(pops) < 0.15
+
+
+def test_save_and_verify(tmp_path):
+    """Persistence round-trip + independent scipy-oracle verification
+    (the reference's qutip_verification flow, SURVEY.md section 3.5)."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=True, show_plots=False,
+        file_name="pi_pulse", data_path=str(tmp_path),
+        convergence={"rate": 0.01, "update_step": 50,
+                     "max_iterations": 500, "conv_target": 1e-4},
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+    )
+    assert res.file_path is not None
+    from qoc_tpu.utils.verification import verify_run
+
+    out = verify_run(res.file_path, atol=1e-3)
+    assert all(out["all_close"]), out
+    assert max(out["max_abs_diff"]) < 1e-3
+
+    # file naming: second run increments the 5-digit prefix (grape.py:45-51)
+    import os
+
+    assert os.path.basename(res.file_path) == "00000_pi_pulse.h5"
+
+
+def test_unknown_method_raises():
+    with pytest.raises(ValueError):
+        run_pi_pulse("NEWTON")
+
+
+def test_save_requires_paths():
+    with pytest.raises(ValueError, match="file_name"):
+        q.Grape(H0_QUBIT, [q.SIGMA_X], ["x"],
+                [np.array([0, 1], dtype=complex)], 1.0, 10,
+                [np.array([1, 0], dtype=complex)],
+                state_transfer=True, save=True, show_plots=False)

@@ -1,0 +1,62 @@
+"""Persistence: H5File add/append semantics and run-input schema
+(data_management.py:138-187 parity)."""
+
+import numpy as np
+import pytest
+
+from qoc_tpu.utils.h5 import H5File, next_run_path, save_run_inputs
+
+
+def test_add_create_and_replace(tmp_path):
+    p = str(tmp_path / "t.h5")
+    with H5File(p, "a") as hf:
+        hf.add("x", np.arange(5))
+        hf.add("x", np.arange(3))  # replace
+    import h5py
+
+    with h5py.File(p, "r") as hf:
+        assert np.array_equal(hf["x"][...], np.arange(3))
+
+
+def test_append_grows_leading_axis(tmp_path):
+    p = str(tmp_path / "t.h5")
+    with H5File(p, "a") as hf:
+        hf.append("err", np.array(0.5))
+        hf.append("err", np.array(0.25))
+        hf.append("uks", np.ones((2, 4)))
+        hf.append("uks", 2 * np.ones((2, 4)))
+    import h5py
+
+    with h5py.File(p, "r") as hf:
+        assert np.allclose(hf["err"][...], [0.5, 0.25])
+        assert hf["uks"].shape == (2, 2, 4)
+        assert np.allclose(hf["uks"][-1], 2.0)
+
+
+def test_next_run_path_increments(tmp_path):
+    p0 = next_run_path(str(tmp_path), "run")
+    assert p0.endswith("00000_run.h5")
+    open(p0, "w").close()
+    p1 = next_run_path(str(tmp_path), "run")
+    assert p1.endswith("00001_run.h5")
+
+
+def test_save_run_inputs_schema(tmp_path):
+    p = str(tmp_path / "in.h5")
+    H0 = np.diag([0.0, 1.0]).astype(complex)
+    save_run_inputs(
+        p, H0=H0, Hops=[H0], Hnames=["h"], U=np.eye(2),
+        total_time=5.0, steps=50, states_concerned_list=[0, 1],
+        maxA=[4.0], method="Adam",
+        convergence={"rate": 0.01}, reg_coeffs={"dwdt": 0.1},
+        dressed_info=None,
+    )
+    import h5py
+
+    with h5py.File(p, "r") as hf:
+        assert float(np.array(hf["total_time"])) == 5.0
+        assert int(np.array(hf["steps"])) == 50
+        assert np.allclose(np.array(hf["H0"]), H0)
+        assert float(np.array(hf["convergence"]["rate"])) == 0.01
+        assert float(np.array(hf["reg_coeffs"]["dwdt"])) == 0.1
+        assert np.array(hf["method"])[()].decode() == "Adam"

@@ -1,0 +1,160 @@
+"""Propagation engines: scan vs associative vs dense scipy oracle;
+gradient modes: exact autodiff vs reference custom_vjp semantics."""
+
+import numpy as np
+import scipy.linalg as la
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qoc_tpu.ops.expm import weighted_hamiltonians
+from qoc_tpu.ops.isomorphism import c_to_r_mat, c_to_r_vec
+from qoc_tpu.ops.propagation import (
+    chain_associative,
+    chain_scan,
+    state_transfer_chain,
+    step_propagators,
+    step_propagators_ref_grad,
+    evolve_unitary,
+)
+
+
+def setup_problem(rng, n=3, K=2, T=20, dt=0.05):
+    H0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H0 = (H0 + H0.conj().T) / 2
+    Hks = []
+    for _ in range(K):
+        Hk = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        Hks.append((Hk + Hk.conj().T) / 2)
+    mats = np.stack(
+        [c_to_r_mat(-1j * dt * H0)] + [c_to_r_mat(-1j * dt * H) for H in Hks]
+    ).astype(np.float32)
+    u = 0.5 * rng.standard_normal((K, T)).astype(np.float32)
+    weights = np.concatenate([np.ones((1, T), np.float32), u], axis=0)
+    return H0, Hks, mats, weights, u
+
+
+def dense_oracle(H0, Hks, u, dt, psi0_c, U0_c):
+    """Independent propagation with scipy.linalg.expm (float64, full expm)."""
+    T = u.shape[1]
+    U = U0_c.copy()
+    vecs = [psi0_c.copy()]
+    for t in range(T):
+        H = H0 + sum(u[k, t] * Hks[k] for k in range(len(Hks)))
+        P = la.expm(-1j * dt * H)
+        U = P @ U
+        vecs.append(U @ psi0_c)
+    return U, np.stack(vecs)
+
+
+def test_engines_agree(rng):
+    H0, Hks, mats, weights, u = setup_problem(rng)
+    n = 3
+    U0 = jnp.asarray(c_to_r_mat(np.eye(n)).astype(np.float32))
+    psi0_c = np.zeros((n, 2), dtype=complex)
+    psi0_c[0, 0] = 1
+    psi0_c[1, 1] = 1
+    psi0 = jnp.asarray(
+        np.stack([c_to_r_vec(psi0_c[:, i]) for i in range(2)], axis=1).astype(
+            np.float32
+        )
+    )
+    P = step_propagators(jnp.asarray(mats), jnp.asarray(weights), 12, 1)
+    Ua, va = chain_associative(P, U0, psi0)
+    Us, vs = chain_scan(P, U0, psi0)
+    assert np.allclose(np.asarray(Ua), np.asarray(Us), atol=1e-5)
+    assert np.allclose(np.asarray(va), np.asarray(vs), atol=1e-5)
+
+
+def test_unitary_chain_vs_oracle(rng):
+    H0, Hks, mats, weights, u = setup_problem(rng)
+    n, dt = 3, 0.05
+    U0_c = np.eye(n, dtype=complex)
+    psi0_c = np.zeros(n, dtype=complex)
+    psi0_c[0] = 1
+    psi0 = jnp.asarray(c_to_r_vec(psi0_c).astype(np.float32)[:, None])
+    U0 = jnp.asarray(c_to_r_mat(U0_c).astype(np.float32))
+    final_U, inter_vecs = evolve_unitary(
+        jnp.asarray(mats), jnp.asarray(weights), U0, psi0, 14, 2
+    )
+    U_ref, vecs_ref = dense_oracle(H0, Hks, u, dt, psi0_c, U0_c)
+    assert np.allclose(np.asarray(final_U), c_to_r_mat(U_ref), atol=1e-4)
+    got = np.asarray(inter_vecs)[:, :, 0]
+    want = np.stack([c_to_r_vec(v) for v in vecs_ref])
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_state_transfer_vs_oracle(rng):
+    H0, Hks, mats, weights, u = setup_problem(rng, T=15)
+    n, dt = 3, 0.05
+    psi0_c = np.zeros(n, dtype=complex)
+    psi0_c[0] = 1
+    psi0 = jnp.asarray(c_to_r_vec(psi0_c).astype(np.float32)[:, None])
+    vecs = state_transfer_chain(
+        jnp.asarray(mats), jnp.asarray(weights), psi0, order=16
+    )
+    _, vecs_ref = dense_oracle(H0, Hks, u, dt, psi0_c, np.eye(n, dtype=complex))
+    got = np.asarray(vecs)[:, :, 0]
+    want = np.stack([c_to_r_vec(v) for v in vecs_ref])
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_reference_grad_semantics(rng):
+    """The custom_vjp coefficient gradient equals sum(G * (H_k @ P)) with a
+    zero drift-row gradient (tensorflow_state.py:49-65)."""
+    _, _, mats, weights, _ = setup_problem(rng, T=4)
+    mats_j, w_j = jnp.asarray(mats), jnp.asarray(weights)
+    order, scaling = 10, 1
+
+    def f(w):
+        P = step_propagators_ref_grad(mats_j, w, order, scaling)
+        return jnp.sum(P ** 2)
+
+    grad = np.asarray(jax.grad(f)(w_j))
+    # manual: G = 2P; wbar[k,t] = sum(G[t] * (mats[k] @ P[t]))
+    P = np.asarray(step_propagators(mats_j, w_j, order, scaling))
+    G = 2 * P
+    want = np.einsum("kij,tjm,tim->kt", mats, P, G)
+    want[0, :] = 0.0
+    assert np.allclose(grad, want, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_grad_matches_fd(rng):
+    """Autodiff gradient vs central finite differences (float32 tolerance)."""
+    _, _, mats, weights, _ = setup_problem(rng, n=2, K=1, T=6)
+    mats_j = jnp.asarray(mats)
+
+    def f(w):
+        P = step_propagators(mats_j, w, 10, 1)
+        return jnp.sum(jnp.sin(P))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(weights)))
+    eps = 1e-3
+    for (k, t) in [(1, 0), (1, 3), (0, 2)]:
+        wp = weights.copy(); wp[k, t] += eps
+        wm = weights.copy(); wm[k, t] -= eps
+        fd = (float(f(jnp.asarray(wp))) - float(f(jnp.asarray(wm)))) / (2 * eps)
+        assert abs(g[k, t] - fd) < 5e-2 * max(1.0, abs(fd))
+
+
+def test_adjoint_state_grad_is_exact_for_hermitian(rng):
+    """For Hermitian H the reference's exp(-A) cotangent propagation equals
+    the true transpose: reference-mode and exact-mode state gradients agree
+    closely (SURVEY design note)."""
+    _, _, mats, weights, _ = setup_problem(rng, T=8, dt=0.005)
+    mats_j, w_j = jnp.asarray(mats), jnp.asarray(weights)
+    psi0 = jnp.asarray(np.eye(6, 1, dtype=np.float32))
+    target = jnp.asarray(rng.standard_normal((6, 1)).astype(np.float32))
+
+    def loss(w, mode):
+        vecs = state_transfer_chain(mats_j, w, psi0, order=14,
+                                    gradient_mode=mode)
+        return jnp.sum(vecs[-1] * target)
+
+    g_exact = np.asarray(jax.grad(lambda w: loss(w, "exact"))(w_j))
+    g_ref = np.asarray(jax.grad(lambda w: loss(w, "reference"))(w_j))
+    # coefficient gradients: first-order approx -> loose tolerance;
+    # both must agree in direction for small dt
+    denom = np.linalg.norm(g_exact[1:]) * np.linalg.norm(g_ref[1:])
+    cosine = float(np.sum(g_exact[1:] * g_ref[1:]) / denom)
+    assert cosine > 0.99
