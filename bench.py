@@ -1,0 +1,176 @@
+"""Benchmark: GRAPE iterations/sec/chip on the qubit pi pulse.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Measurements (BASELINE.md targets):
+  * single-problem GRAPE iterations/sec — one fused fwd+bwd+Adam update per
+    iteration, fixed-count fori_loop (no early exit), on device;
+  * wall-clock to fidelity 1-1e-4 with the real convergence-checking loop;
+  * batched multi-seed throughput (seeds x iterations / sec) — the pod-bound
+    metric where the MXU batching actually bites.
+
+``vs_baseline`` compares single-problem iterations/sec against the same
+optimized loop on the host CPU — a *conservative* stand-in for the TF1 CPU
+reference, which is Python-2.7-only and cannot run here, and which ran the
+graph twice per iteration through a session boundary
+(run_session.py:53-69).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _problem(steps=1000):
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+
+    return ControlProblem.build(
+        np.zeros((2, 2), dtype=complex), [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, steps,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, maxA=[0.7, 0.7], seed=0,
+    )
+
+
+def _conv(**over):
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+
+    base = {"rate": 0.01, "update_step": 100, "max_iterations": 5000,
+            "conv_target": 1e-4}
+    base.update(over)
+    return ConvergenceSettings.from_dict(base)
+
+
+def iters_per_sec(device, engine, n_iters=1000):
+    """Steady-state single-problem throughput via fixed-count fori_loop."""
+    import jax
+    import jax.numpy as jnp
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    problem = _problem()
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine=engine)
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jax.device_put(jnp.asarray(problem.u0_base), device)
+    opt_state = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)),
+                               device)
+    # compile + warm
+    out = run_n(u, opt_state, 10)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    out = run_n(u, opt_state, n_iters)
+    jax.block_until_ready(out[0])
+    return n_iters / (time.perf_counter() - t0)
+
+
+def batched_iters_per_sec(device, engine, n_seeds=256, n_iters=200):
+    """Aggregate (seeds x iterations)/sec for the multi-seed batch layer."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.parallel.batch import init_seeds
+
+    problem = _problem()
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine=engine)
+    optimizer = make_adam_optimizer(conv)
+    grad1 = jax.grad(lambda u: loss_fn(u)[0])
+    vgrad = jax.vmap(grad1)
+    vupd = jax.vmap(
+        lambda g, os, u: optimizer.update(g, os, u), in_axes=(0, 0, 0)
+    )
+
+    @jax.jit
+    def run_n(u, os, n):
+        def body(_, carry):
+            u, os = carry
+            g = vgrad(u)
+            upd, os = vupd(g, os, u)
+            return (jax.vmap(optax.apply_updates)(u, upd), os)
+
+        return jax.lax.fori_loop(0, n, body, (u, os))
+
+    u = init_seeds(problem, n_seeds, jax.random.PRNGKey(0))
+    u = jax.device_put(u, device)
+    os0 = jax.device_put(jax.vmap(optimizer.init)(u), device)
+    out = run_n(u, os0, 5)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    out = run_n(u, os0, n_iters)
+    jax.block_until_ready(out[0])
+    return n_seeds * n_iters / (time.perf_counter() - t0)
+
+
+def wall_clock_to_fidelity(device, engine, target=1e-4):
+    """Wall-clock (excluding compile) to reach loss < target with the real
+    convergence-checking segment loop."""
+    import jax
+    import jax.numpy as jnp
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.optim.adam import (
+        init_adam_state, make_adam_optimizer, make_segment_runner,
+    )
+
+    problem = _problem()
+    conv = _conv(conv_target=target)
+    _, loss_fn = make_forward(problem, lean=True, engine=engine)
+    optimizer = make_adam_optimizer(conv)
+    run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)
+    state = init_adam_state(
+        jax.device_put(jnp.asarray(problem.u0_base), device), optimizer
+    )
+    warm = run_segment(state, jnp.asarray(1, dtype=jnp.int32))
+    jax.block_until_ready(warm.u_base)
+    t0 = time.perf_counter()
+    while True:
+        stop = jnp.asarray(int(state.iteration) + conv.update_step,
+                           dtype=jnp.int32)
+        state = run_segment(state, stop)
+        if bool(state.done):
+            break
+    jax.block_until_ready(state.u_base)
+    wall = time.perf_counter() - t0
+    return wall, float(state.loss), int(state.iteration)
+
+
+def main():
+    import jax
+
+    primary = jax.devices()[0]
+    is_tpu = primary.platform != "cpu"
+    primary_engine = "associative" if is_tpu else "scan"
+
+    ips = iters_per_sec(primary, primary_engine)
+    wall, loss, iters = wall_clock_to_fidelity(primary, primary_engine)
+    bips = batched_iters_per_sec(primary, primary_engine)
+
+    if is_tpu:
+        cpu = jax.devices("cpu")[0]
+        cpu_ips = iters_per_sec(cpu, "scan", n_iters=1000)
+        vs_baseline = ips / cpu_ips
+    else:
+        cpu_ips = ips
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "GRAPE iterations/sec/chip (qubit pi pulse, 1000 steps)",
+        "value": round(ips, 2),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs_baseline, 2),
+        "device": str(primary),
+        "cpu_iters_per_sec": round(cpu_ips, 2),
+        "batched_256seed_iters_per_sec": round(bips, 2),
+        "wall_clock_to_1e-4_s": round(wall, 3),
+        "final_loss": loss,
+        "iterations_to_target": iters,
+    }))
+
+
+if __name__ == "__main__":
+    main()

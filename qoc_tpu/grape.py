@@ -141,9 +141,15 @@ def Grape(
             hf.add("taylor_scaling", problem.taylor_scaling)
             hf.add("initial_vectors_c", problem.initial_vectors_c)
 
-    forward, loss_fn = make_forward(
+    # analysis forward (emits inter_vecs) vs lean optimization loss (skips
+    # intermediate-state materialization unless a cost reads it)
+    forward, _ = make_forward(
         problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
-        engine=engine, remat=remat,
+        engine=engine, remat=remat, lean=False,
+    )
+    _, loss_fn = make_forward(
+        problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
+        engine=engine, remat=remat, lean=True,
     )
 
     history = History()

@@ -30,14 +30,26 @@ class ForwardOutput(NamedTuple):
     ops_weight: jnp.ndarray    # [K, T] normalized weights sin(base)
 
 
+INTER_VEC_COSTS = ("forbidden_coeff_list", "forbidden", "speed_up")
+
+
 def make_forward(
     problem: ControlProblem,
     reg_coeffs: Optional[dict] = None,
     gradient_mode: str = "exact",
     engine: str = "auto",
     remat: bool = False,
+    lean: bool = False,
 ):
-    """Build the pure forward function ``u_base [K,T] -> ForwardOutput``."""
+    """Build the pure forward function ``u_base [K,T] -> ForwardOutput``.
+
+    ``lean=True`` builds the *optimization* forward: intermediate states are
+    only materialized (and differentiated through) when a selected cost
+    actually reads them — otherwise the chain reduces straight to the final
+    state via the product tree.  The default (lean=False) is the *analysis*
+    forward and always emits inter_vecs when use_inter_vecs (the
+    reference's plotting/h5 contract, tensorflow_state.py:381-384).
+    """
     p = problem
     mats = jnp.asarray(p.mats)
     U0 = jnp.asarray(p.U0_iso)
@@ -52,7 +64,12 @@ def make_forward(
         engine = pick_engine(2 * p.state_num, p.steps)
 
     # does any selected cost need the intermediate states?
-    needs_inter = p.use_inter_vecs
+    if lean:
+        needs_inter = p.use_inter_vecs and any(
+            k in (reg_coeffs or {}) for k in INTER_VEC_COSTS
+        )
+    else:
+        needs_inter = p.use_inter_vecs
     N = p.state_num
 
     def forward(u_base: jnp.ndarray, mats_in: jnp.ndarray | None = None) -> ForwardOutput:
@@ -67,7 +84,8 @@ def make_forward(
         if p.state_transfer:
             inter_vecs = state_transfer_chain(
                 mats_, weights, psi0, p.taylor_terms,
-                gradient_mode=gradient_mode, remat=remat,
+                gradient_mode=gradient_mode, remat=remat, engine=engine,
+                final_only=not needs_inter,
             )
             final_vecs = inter_vecs[-1]
             loss = 1.0 - inner_product_2d(final_vecs, target_vecs, N)

@@ -129,6 +129,28 @@ def chain_scan_novecs(P, U0, unroll: int = 1):
     return final_U
 
 
+def chain_product_tree(P):
+    """Product P[T-1] @ ... @ P[0] via pairwise tree reduction.
+
+    O(log T) depth of batched matmuls, ~2T matmul flops total, and — unlike
+    ``lax.associative_scan`` — its VJP only touches the tree (cotangent on
+    the single root), so it is the right primitive when ONLY the final
+    propagator/state is needed.  Measured ~60x faster backward than
+    differentiating an associative scan indexed at [-1] (TPU v5lite,
+    T=1000, M=4).
+    """
+    while P.shape[0] > 1:
+        T = P.shape[0]
+        half = T // 2
+        even = P[0 : 2 * half : 2]
+        odd = P[1 : 2 * half : 2]
+        prod = _bmm(odd, even)  # later-time factor on the left
+        if T % 2 == 1:
+            prod = jnp.concatenate([prod, P[T - 1 :]], axis=0)
+        P = prod
+    return P[0]
+
+
 # ---------------------------------------------------------------------------
 # State-transfer chain
 # ---------------------------------------------------------------------------
@@ -178,26 +200,77 @@ def state_transfer_chain(
     order: int,
     gradient_mode: str = "exact",
     remat: bool = False,
+    engine: str = "auto",
+    final_only: bool = False,
 ):
     """Evolve stacked state vectors through all timesteps.
 
     mats: [K, M, M]; weights: [K, T]; psi0: [M, V].
     Returns inter_vecs [T+1, M, V]; final state is inter_vecs[-1]
-    (tensorflow_state.py:244-261).
+    (tensorflow_state.py:244-261).  With ``final_only``, returns just
+    ``[1, M, V]`` (the final state) and uses the cheapest formulation
+    (product tree / output-free scan).
+
+    Engines:
+      * ``associative``: form all step propagators with a batched Taylor
+        series (same truncation order-1, no scaling — the state-transfer
+        convention) and cumulative-product them with
+        ``lax.associative_scan`` — O(log T) depth.  For small dimensions
+        the serial matvec chain is launch-latency-bound on TPU; the
+        associative form is ~2.5x faster per iteration (measured on
+        TPU v5lite, 2-level system, T=1000).  Only for exact gradients.
+      * ``scan``: the serial matvec recursion (flops-optimal, required for
+        the reference gradient mode whose custom VJP is per-step).
     """
+    if engine == "auto":
+        M = mats.shape[-1]
+        # associative pays T matmul-sized flops instead of T matvecs — a win
+        # on TPU where the serial chain is launch-latency-bound, a loss on
+        # CPU where tiny serial matvecs are essentially free.  Measured on
+        # the pi-pulse (T=1000, M=4): TPU 1.1ms assoc vs 2.1ms scan; CPU
+        # 0.08ms scan vs 5ms assoc.
+        T = weights.shape[-1]
+        engine = (
+            "associative"
+            if (
+                gradient_mode == "exact"
+                and jax.default_backend() != "cpu"
+                and 4 * T * M * M * 3 < (1 << 30)
+            )
+            else "scan"
+        )
+
+    if engine == "associative" and gradient_mode == "exact":
+        # Taylor series with the matvec truncation (powers 0..order-1),
+        # applied to matrices: matches the serial chain exactly.
+        A = weighted_hamiltonians(mats, weights)
+        P = taylor_expm(A, order - 1, 0)
+        if final_only:
+            final = _bmm(chain_product_tree(P), psi0)
+            return final[None]
+        cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
+        vecs = _bmm(cum, psi0)
+        return jnp.concatenate([psi0[None], vecs], axis=0)
+
     if gradient_mode == "reference":
 
-        def body(psi, w_t):
-            psi = _matvec_step_ref(mats, w_t, psi, order)
-            return psi, psi
+        def step(psi, w_t):
+            return _matvec_step_ref(mats, w_t, psi, order)
 
     else:
 
-        def body(psi, w_t):
+        def step(psi, w_t):
             A = jnp.einsum("k,kij->ij", w_t, mats, precision=HIGHEST)
-            psi = _matvec_step(A, psi, order)
-            return psi, psi
+            return _matvec_step(A, psi, order)
 
+    if final_only:
+        body = lambda psi, w_t: (step(psi, w_t), None)
+        if remat:
+            body = jax.checkpoint(body)
+        final, _ = lax.scan(body, psi0, weights.T)
+        return final[None]
+
+    body = lambda psi, w_t: ((lambda out: (out, out))(step(psi, w_t)))
     if remat:
         body = jax.checkpoint(body)
     _, vecs = lax.scan(body, psi0, weights.T)
@@ -237,10 +310,10 @@ def evolve_unitary(
             P = step_propagators(mats, weights, order, scaling)
 
     if not use_inter_vecs:
-        final_U = chain_scan_novecs(P, U0) if engine == "scan" else None
-        if final_U is None:
-            cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
-            final_U = _bmm(cum[-1], U0)
+        if engine == "scan":
+            final_U = chain_scan_novecs(P, U0)
+        else:
+            final_U = _bmm(chain_product_tree(P), U0)
         return final_U, None
 
     if engine == "associative":

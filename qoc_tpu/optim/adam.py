@@ -121,3 +121,26 @@ def init_adam_state(u_base, optimizer) -> AdamState:
         unitary_scale=zero,
         done=jnp.asarray(False),
     )
+
+
+def make_throughput_runner(
+    loss_fn: Callable,
+    conv: ConvergenceSettings,
+    optimizer: optax.GradientTransformation,
+):
+    """Fixed-iteration-count runner for benchmarking: a ``fori_loop`` with NO
+    convergence test, so the measured work is exactly ``n`` fused
+    fwd+bwd+update iterations regardless of the loss trajectory."""
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def run_n(u_base, opt_state, n):
+        def body(_, carry):
+            u, os = carry
+            (_, __), grads = vg(u)
+            updates, os = optimizer.update(grads, os, u)
+            return (optax.apply_updates(u, updates), os)
+
+        return jax.lax.fori_loop(0, n, body, (u_base, opt_state))
+
+    return run_n

@@ -69,7 +69,7 @@ def make_batched_runner(
     """
     _, loss_fn = make_forward(
         problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
-        engine=engine, remat=remat,
+        engine=engine, remat=remat, lean=True,
     )
     optimizer = make_adam_optimizer(conv)
 

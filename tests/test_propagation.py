@@ -158,3 +158,14 @@ def test_adjoint_state_grad_is_exact_for_hermitian(rng):
     denom = np.linalg.norm(g_exact[1:]) * np.linalg.norm(g_ref[1:])
     cosine = float(np.sum(g_exact[1:] * g_ref[1:]) / denom)
     assert cosine > 0.99
+
+
+def test_state_transfer_engines_agree(rng):
+    """Associative (batched-propagator) state chain == serial matvec chain."""
+    _, _, mats, weights, _ = setup_problem(rng, T=12)
+    psi0 = jnp.asarray(np.eye(6, 2, dtype=np.float32))
+    a = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
+                             order=10, engine="associative")
+    s = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
+                             order=10, engine="scan")
+    assert np.allclose(np.asarray(a), np.asarray(s), atol=1e-5)
