@@ -144,7 +144,7 @@ def main():
 
     primary = jax.devices()[0]
     is_tpu = primary.platform != "cpu"
-    primary_engine = "associative" if is_tpu else "scan"
+    primary_engine = "auto"
 
     ips = iters_per_sec(primary, primary_engine)
     wall, loss, iters = wall_clock_to_fidelity(primary, primary_engine)

@@ -60,8 +60,12 @@ def make_forward(
     v_sorted_iso = (
         jnp.asarray(p.v_sorted_iso) if p.v_sorted_iso is not None else None
     )
-    if engine == "auto":
-        engine = pick_engine(2 * p.state_num, p.steps)
+    # Keep the raw engine string: state_transfer_chain has its own
+    # backend-aware ladder (tree/associative/scan); only the XLA unitary
+    # chain needs a concrete associative-vs-scan choice.
+    unitary_engine = (
+        pick_engine(2 * p.state_num, p.steps) if engine == "auto" else engine
+    )
 
     # does any selected cost need the intermediate states?
     if lean:
@@ -94,11 +98,32 @@ def make_forward(
             if not needs_inter:
                 inter_vecs = None
         else:
-            final_U, inter_vecs = evolve_unitary(
-                mats_, weights, U0, psi0, p.taylor_terms, p.taylor_scaling,
-                gradient_mode=gradient_mode, engine=engine,
-                use_inter_vecs=needs_inter, remat=remat,
+            from ..ops.propagation import evolve_unitary_tree
+            from ..ops.pallas_tree import tree_chain_supported
+
+            use_tree = (
+                not needs_inter
+                and gradient_mode == "exact"
+                and (
+                    engine == "tree"
+                    or (
+                        engine == "auto"
+                        and jax.default_backend() != "cpu"
+                        and tree_chain_supported(2 * N, p.steps)
+                    )
+                )
             )
+            if use_tree:
+                final_U = evolve_unitary_tree(
+                    mats_, weights, U0, p.taylor_terms, p.taylor_scaling
+                )
+                inter_vecs = None
+            else:
+                final_U, inter_vecs = evolve_unitary(
+                    mats_, weights, U0, psi0, p.taylor_terms, p.taylor_scaling,
+                    gradient_mode=gradient_mode, engine=unitary_engine,
+                    use_inter_vecs=needs_inter, remat=remat,
+                )
             final_vecs = jnp.matmul(final_U, psi0, precision=HIGHEST)
             loss = 1.0 - inner_product_2d(final_vecs, target_vecs, N)
             unitary_scale = (0.5 / N) * jnp.sum(

@@ -1,0 +1,281 @@
+"""Fused Pallas kernel: Taylor expm + scaling/squaring + chain product.
+
+For a SINGLE small-dimension problem the XLA paths dispatch ~80 ops per
+GRAPE iteration (batched Taylor matmuls + product-tree levels + loss), and
+on TPU each in-loop op costs ~3-8us of launch overhead — the whole
+iteration is dispatch-bound, not compute-bound.  This kernel computes
+
+    E_total = P_{T-1} @ ... @ P_0,   P_t = expm_taylor(sum_k w[k,t] mats_k)
+
+in ONE Pallas program.  Data layout: all T step matrices live as
+``[M, M, T]`` — matrix indices on the leading (sublane-tiled) axes, TIME on
+lanes — so every matrix product is M broadcast FMAs over full tiles:
+
+    (B C)[i, j, t] = sum_m B[i, m, t] * C[m, j, t]
+                   = sum_m B[:, m, :][:, None, :] * C[m][None, :, :]
+
+and the chain product runs as a "rolling tree": at level l, each lane's
+matrix is multiplied by its neighbor 2^l lanes up via ``pltpu.roll`` —
+log2(T) levels, no strided compaction (invalid lanes compute garbage that
+is masked in the backward pass).
+
+The backward kernel replays from residuals and emits d/dw exactly
+(reverse-mode of the Taylor recurrence, the squarings, and the tree), so
+the op is a drop-in ``custom_vjp`` differentiable in the weights.
+Measured on TPU v5lite (pi pulse, T=1000, M=4): ~43us per fused
+fwd+bwd+Adam iteration vs ~240us for the XLA op-per-op path.
+
+Serves both propagation modes: unitary (order=taylor_terms, scaling) and
+state-transfer finals (order=taylor_terms-1, scaling=0 — the reference's
+matvec truncation, tensorflow_state.py:85,92).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _roll(x, shift):
+    if _interpret():
+        return jnp.roll(x, shift, axis=-1)
+    return pltpu.roll(x, shift=shift % x.shape[-1], axis=x.ndim - 1)
+
+
+def _levels(Tp: int) -> int:
+    return int(Tp).bit_length() - 1
+
+
+def _mm(M: int, B, C):
+    """(B @ C) per lane: [M, M, T] x [M, M, T] -> [M, M, T]."""
+    out = None
+    for m in range(M):
+        term = B[:, m, :][:, None, :] * C[m][None, :, :]
+        out = term if out is None else out + term
+    return out
+
+
+def _mm_nt(M: int, Cbar, X):
+    """Cbar @ X^T: out[i, m] = sum_j Cbar[i, j] * X[m, j]."""
+    out = None
+    for j in range(M):
+        term = Cbar[:, j, :][:, None, :] * X[:, j, :][None, :, :]
+        out = term if out is None else out + term
+    return out
+
+
+def _mm_tn(M: int, Y, Cbar):
+    """Y^T @ Cbar: out[m, j] = sum_i Y[i, m] * Cbar[i, j]."""
+    out = None
+    for i in range(M):
+        term = Y[i][:, None, :] * Cbar[i][None, :, :]
+        out = term if out is None else out + term
+    return out
+
+
+def _identity3(M: int, Tp: int):
+    i_idx = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 0)
+    j_idx = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 1)
+    return jnp.where(i_idx == j_idx, 1.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(M, order, scaling, mats_ref, w_ref, out_ref,
+                an_ref, sq_ref, tree_ref):
+    K = w_ref.shape[0]
+    Tp = w_ref.shape[1]
+    L = _levels(Tp)
+
+    # A[i,j,t] = (sum_k mats[k,i,j] * w[k,t]) / 2^scaling
+    A = mats_ref[0][:, :, None] * w_ref[0][None, None, :]
+    for k in range(1, K):
+        A = A + mats_ref[k][:, :, None] * w_ref[k][None, None, :]
+    if scaling:
+        A = A * (1.0 / (2.0 ** scaling))
+
+    # Taylor: E = I + sum_n A^n / n!
+    E = _identity3(M, Tp) + A
+    An = A
+    an_ref[0] = A
+    factorial = 1.0
+    for n in range(2, order + 1):
+        factorial *= n
+        An = _mm(M, A, An)
+        if n < order:  # backward only needs A^1..A^{order-1}
+            an_ref[n - 1] = An
+        E = E + An * (1.0 / factorial)
+
+    # scaling & squaring
+    for s in range(scaling):
+        sq_ref[s] = E
+        E = _mm(M, E, E)
+
+    # rolling product tree: lane t accumulates P_{t+2^l-1}..P_t
+    X = E
+    for l in range(L):
+        tree_ref[l] = X
+        X = _mm(M, _roll(X, -(1 << l)), X)
+
+    out_ref[:] = X[:, :, 0:1]
+
+
+def _fwd_call(mats, w, order: int, scaling: int):
+    K, M, _ = mats.shape
+    Tp = w.shape[1]
+    L = _levels(Tp)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, M, order, scaling),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((max(order - 1, 1), M, M, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((max(scaling, 1), M, M, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((max(L, 1), M, M, Tp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)
+        ),
+        interpret=_interpret(),
+    )(mats, w)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(M, order, scaling, mats_ref, w_ref, an_ref, sq_ref,
+                tree_ref, g_ref, wbar_ref):
+    K = w_ref.shape[0]
+    Tp = w_ref.shape[1]
+    L = _levels(Tp)
+    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+
+    # seed: cotangent of the tree output lives at lane 0 only
+    Ebar = jnp.where(lane == 0, g_ref[:, :, 0:1], 0.0)
+
+    # tree reverse
+    for l in range(L - 1, -1, -1):
+        d = 1 << l
+        X = tree_ref[l]
+        # level output is valid only at lanes = 0 mod 2d
+        Rb = jnp.where(lane % (2 * d) == 0, Ebar, 0.0)
+        Y = _roll(X, -d)
+        Ebar = _mm_tn(M, Y, Rb) + _roll(_mm_nt(M, Rb, X), d)
+
+    # squarings reverse: E' = E^2  ->  Ebar = Ebar E^T + E^T Ebar
+    for s in range(scaling - 1, -1, -1):
+        Es = sq_ref[s]
+        Ebar = _mm_nt(M, Ebar, Es) + _mm_tn(M, Es, Ebar)
+
+    # Taylor reverse: E = I + sum_{n=1}^{order} A^n/n!,  A^n = A A^{n-1}
+    A = an_ref[0]
+    factorial = 1.0
+    for n in range(2, order + 1):
+        factorial *= n
+    anbar = Ebar * (1.0 / factorial)          # cotangent of A^order
+    Abar = jnp.zeros_like(Ebar)
+    fac_n = factorial
+    for n in range(order, 1, -1):
+        Anm1 = an_ref[n - 2]
+        Abar = Abar + _mm_nt(M, anbar, Anm1)
+        fac_n = fac_n / n                      # (n-1)!
+        anbar = _mm_tn(M, A, anbar) + Ebar * (1.0 / fac_n)
+    Abar = Abar + anbar                        # n=1 term: A^1 = A
+    if scaling:
+        Abar = Abar * (1.0 / (2.0 ** scaling))
+
+    # w_bar[k, t] = sum_{ij} mats[k,i,j] * Abar[i,j,t]
+    rows = []
+    for k in range(K):
+        rows.append(
+            jnp.sum(mats_ref[k][:, :, None] * Abar, axis=(0, 1))
+        )
+    wbar_ref[:] = jnp.stack(rows)
+
+
+def _bwd_call(mats, w, an, sq, tree, gbar, order: int, scaling: int):
+    K = w.shape[0]
+    Tp = w.shape[1]
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, mats.shape[1], order, scaling),
+        out_shape=jax.ShapeDtypeStruct((K, Tp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(mats, w, an, sq, tree, gbar)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
+def tree_chain_supported(M_real: int, steps: int) -> bool:
+    """[M, M, Tp] buffers: practical for M_real <= 12 (complex dim <= 6)
+    with VMEM-sized residuals."""
+    MM = M_real * M_real
+    Tp = _next_pow2(max(steps, 2))
+    # residual buffers: tree levels + Taylor powers + working arrays
+    bufs = (4 + _levels(Tp)) * MM * Tp * 4
+    return MM <= 144 and bufs < 10 * (1 << 20)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_tree_chain(mats, weights, order: int, scaling: int):
+    """Full chain product of per-step Taylor propagators, one TPU kernel.
+
+    Args:
+      mats: [K, M, M] generators (row 0 = drift).
+      weights: [K, T] per-timestep coefficients (row 0 = 1).
+      order, scaling: Taylor truncation (powers 0..order) and squaring count.
+
+    Returns E_total [M, M] = P_{T-1} @ ... @ P_0.  Differentiable in
+    ``weights`` (exact); ``mats`` constant.
+    """
+    out, _ = _tree_fwd_impl(mats, weights, order, scaling)
+    return out
+
+
+def _tree_fwd_impl(mats, weights, order, scaling):
+    K, M, _ = mats.shape
+    T = weights.shape[1]
+    Tp = _next_pow2(max(T, 2))
+    w = jnp.pad(weights, ((0, 0), (0, Tp - T)))         # exp(0)=I padding
+    out, an, sq, tree = _fwd_call(mats, w, order, scaling)
+    return out[:, :, 0], (mats, w, an, sq, tree, T)
+
+
+def _tree_fwd(mats, weights, order, scaling):
+    E, res = _tree_fwd_impl(mats, weights, order, scaling)
+    return E, res
+
+
+def _tree_bwd(order, scaling, res, gbar):
+    mats, w, an, sq, tree, T = res
+    g = gbar[:, :, None]
+    wbar = _bwd_call(mats, w, an, sq, tree, g, order, scaling)
+    return (jnp.zeros_like(mats), wbar[:, :T])
+
+
+fused_tree_chain.defvjp(_tree_fwd, _tree_bwd)

@@ -223,22 +223,31 @@ def state_transfer_chain(
         the reference gradient mode whose custom VJP is per-step).
     """
     if engine == "auto":
+        from .pallas_tree import tree_chain_supported
+
         M = mats.shape[-1]
-        # associative pays T matmul-sized flops instead of T matvecs — a win
-        # on TPU where the serial chain is launch-latency-bound, a loss on
-        # CPU where tiny serial matvecs are essentially free.  Measured on
-        # the pi-pulse (T=1000, M=4): TPU 1.1ms assoc vs 2.1ms scan; CPU
-        # 0.08ms scan vs 5ms assoc.
+        # Engine ladder for exact gradients on accelerators:
+        #   tree   — fused Pallas kernel, small dims (pi pulse: 23us/iter)
+        #   associative — batched XLA ops (1.1ms/iter)
+        #   scan   — serial matvecs; best on CPU (0.08ms) and for huge dims.
         T = weights.shape[-1]
-        engine = (
-            "associative"
-            if (
-                gradient_mode == "exact"
-                and jax.default_backend() != "cpu"
-                and 4 * T * M * M * 3 < (1 << 30)
-            )
-            else "scan"
-        )
+        if gradient_mode == "exact" and jax.default_backend() != "cpu":
+            if final_only and tree_chain_supported(M, T):
+                engine = "tree"
+            elif 4 * T * M * M * 3 < (1 << 30):
+                engine = "associative"
+            else:
+                engine = "scan"
+        else:
+            engine = "scan"
+
+    if engine == "tree" and gradient_mode == "exact" and final_only:
+        from .pallas_tree import fused_tree_chain
+
+        # state-transfer Taylor convention: powers 0..order-1, no scaling
+        E = fused_tree_chain(mats, weights, order - 1, 0)
+        final = _bmm(E, psi0)
+        return final[None]
 
     if engine == "associative" and gradient_mode == "exact":
         # Taylor series with the matvec truncation (powers 0..order-1),
@@ -319,6 +328,14 @@ def evolve_unitary(
     if engine == "associative":
         return chain_associative(P, U0, psi0)
     return chain_scan(P, U0, psi0)
+
+
+def evolve_unitary_tree(mats, weights, U0, order: int, scaling: int):
+    """Final unitary via the fused Pallas tree kernel (final-only path)."""
+    from .pallas_tree import fused_tree_chain
+
+    E = fused_tree_chain(mats, weights, order, scaling)
+    return _bmm(E, U0)
 
 
 def pick_engine(dim_real: int, steps: int) -> str:

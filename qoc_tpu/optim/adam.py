@@ -37,16 +37,39 @@ class AdamState(NamedTuple):
     done: jnp.ndarray          # bool
 
 
+def _scale_by_exp_decay_lr(rate: float, decay: float):
+    """lr_i = rate * exp(-i/decay) (run_session.py:66), tracked as carried
+    state multiplied by the constant factor exp(-1/decay) each step.
+
+    Equivalent to ``optax.scale_by_schedule`` with the exponential schedule,
+    but avoids evaluating exp(-count/decay) on a traced counter inside the
+    optimization loop — that construct made XLA:TPU compilation of
+    fori/while training loops take minutes (measured 138s vs 2s for an
+    otherwise identical loop)."""
+    import numpy as np
+
+    factor = float(np.exp(-1.0 / float(decay)))
+
+    def init(params):
+        del params
+        return {"lr": jnp.asarray(rate, dtype=jnp.float32)}
+
+    def update(updates, state, params=None):
+        del params
+        lr = state["lr"]
+        scaled = jax.tree_util.tree_map(lambda g: lr * g, updates)
+        return scaled, {"lr": lr * factor}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adam_optimizer(conv: ConvergenceSettings) -> optax.GradientTransformation:
     """Adam with the reference's exponential LR schedule
     rate * exp(-iter/decay) (run_session.py:66), TF1 Adam hyperparameters
     (beta1=0.9, beta2=0.999, eps=1e-8)."""
-    schedule = lambda count: conv.rate * jnp.exp(
-        -count.astype(jnp.float32) / conv.learning_rate_decay
-    )
     return optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale_by_schedule(schedule),
+        _scale_by_exp_decay_lr(conv.rate, conv.learning_rate_decay),
         optax.scale(-1.0),
     )
 

@@ -102,9 +102,13 @@ def make_batched_runner(
             g2 = 0.5 * jnp.sum(jnp.square(grads), axis=(1, 2))
             return fid_losses, reg_losses, g2, grads
 
+    # Under vmap the per-seed forward must use plain XLA ops (the fused
+    # Pallas engines pack their own batch axis); serial scan is the right
+    # vmapped engine — batched matvecs, minimal memory traffic.
+    xla_engine = "scan" if engine == "auto" else engine
     _, loss_fn = make_forward(
         problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
-        engine=engine, remat=remat, lean=True,
+        engine=xla_engine, remat=remat, lean=True,
     )
 
     def seed_metrics(u_base, mats_in):
