@@ -90,6 +90,7 @@ def Grape(
     engine: str = "auto",
     seed: Optional[int] = None,
     remat: bool = False,
+    resume_from: Optional[str] = None,
 ) -> GrapeResult:
     grape_start_time = time.time()
 
@@ -155,6 +156,40 @@ def Grape(
     history = History()
     method_u = method.upper()
 
+    def display_dashboard(u_base):
+        """Live dashboard refresh (convergence.py:121-222 behavior): only
+        meaningful inside IPython; headless runs fall through to prints."""
+        try:
+            from IPython import display as ipy_display
+            from IPython import get_ipython
+
+            if get_ipython() is None:
+                return
+        except ImportError:
+            return
+        from .utils import plotting as _plotting
+
+        out = forward(u_base)
+        fig = _plotting.plot_summary(
+            problem, history,
+            uks=_analysis.uks_from_base(problem, u_base),
+            final_state_c=(
+                None if problem.state_transfer
+                else _analysis.final_state_to_complex(
+                    problem, np.asarray(out.final_state))
+            ),
+            inter_vecs=(
+                np.asarray(out.inter_vecs)
+                if out.inter_vecs is not None else None
+            ),
+            reg_coeffs=reg_coeffs, time_unit=time_unit, draw=draw,
+        )
+        ipy_display.display(fig)
+        ipy_display.clear_output(wait=True)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
     def save_step(iteration, loss, reg_loss, g2, uscale, u_base, start_time):
         history.record(iteration, loss, reg_loss, g2, uscale)
         if save:
@@ -166,7 +201,9 @@ def Grape(
                 run_time=time.time() - start_time,
                 unitary_scale=uscale,
             )
-        if not show_plots:
+        if show_plots:
+            display_dashboard(u_base)
+        else:
             print(
                 "Error = :%1.2e; Runtime: %.1fs; Iterations = %d, "
                 "grads =  %10.3e, unitary_metric = %.5f"
@@ -192,6 +229,18 @@ def Grape(
         state = init_adam_state(problem.u0_base, optimizer)
         import jax.numpy as jnp
 
+        if resume_from is not None:
+            from .utils.checkpoint import load_checkpoint
+
+            u_r, opt_r, it_r = load_checkpoint(
+                resume_from, state.u_base, state.opt_state
+            )
+            state = state._replace(
+                u_base=u_r, opt_state=opt_r,
+                iteration=jnp.asarray(it_r, dtype=jnp.int32),
+            )
+            print(f"resumed from {resume_from} at iteration {it_r}")
+
         while True:
             it = int(state.iteration)
             stop_at = min(it + conv.update_step, conv.max_iterations + 1)
@@ -202,6 +251,11 @@ def Grape(
                 float(state.unitary_scale), np.asarray(state.u_base),
                 start_time,
             )
+            if save:
+                from .utils.checkpoint import save_checkpoint
+
+                save_checkpoint(file_path, state.u_base, state.opt_state,
+                                int(state.iteration))
             if bool(state.done):
                 break
         u_base = np.asarray(state.u_base)

@@ -1,1 +1,1 @@
-from . import analysis, h5, verification
+from . import analysis, checkpoint, h5, plotting, profiling, verification

@@ -152,3 +152,61 @@ def test_save_requires_paths():
                 [np.array([0, 1], dtype=complex)], 1.0, 10,
                 [np.array([1, 0], dtype=complex)],
                 state_transfer=True, save=True, show_plots=False)
+
+
+def test_resume_continues_run(tmp_path):
+    """Kill a run early, resume from its checkpoint, reach the target."""
+    common = dict(
+        state_transfer=True, show_plots=False,
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+        file_name="resume", data_path=str(tmp_path),
+    )
+    r1 = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        convergence={"rate": 0.01, "update_step": 5, "max_iterations": 10,
+                     "conv_target": 1e-12},
+        save=True, **common,
+    )
+    assert r1.iterations == 10 and r1.loss > 1e-4
+    r2 = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        convergence={"rate": 0.01, "update_step": 50,
+                     "max_iterations": 1000, "conv_target": 1e-4},
+        save=True, resume_from=r1.file_path, **common,
+    )
+    assert r2.iterations > 10  # continued, not restarted
+    assert r2.loss < 1e-4
+
+
+def test_plot_summary_renders(tmp_path):
+    """Dashboard renders all panels headlessly (Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y, q.SIGMA_Z], ["x", "y", "z"],
+        q.hadamard(1), 6.0, 50, [0, 1],
+        save=False, show_plots=False,
+        convergence={"rate": 0.02, "update_step": 50, "max_iterations": 100,
+                     "conv_target": 1e-4},
+        maxA=[1.0] * 3, seed=0, method="Adam",
+        reg_coeffs={"forbidden_coeff_list": [1.0],
+                    "states_forbidden_list": [1]},
+    )
+    from qoc_tpu.utils.plotting import plot_summary
+
+    out_png = str(tmp_path / "dash.png")
+    fig = plot_summary(
+        res.problem, res.history, res.uks,
+        final_state_c=res.Uf, inter_vecs=res.inter_vecs,
+        reg_coeffs={"states_forbidden_list": [1]},
+        save_path=out_png,
+    )
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(out_png) > 10000

@@ -60,3 +60,46 @@ def test_save_run_inputs_schema(tmp_path):
         assert float(np.array(hf["convergence"]["rate"])) == 0.01
         assert float(np.array(hf["reg_coeffs"]["dwdt"])) == 0.1
         assert np.array(hf["method"])[()].decode() == "Adam"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Full optimizer state (weights + Adam moments + lr + iteration)
+    round-trips through the run file."""
+    import jax.numpy as jnp
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.utils.checkpoint import (
+        has_checkpoint, load_checkpoint, save_checkpoint,
+    )
+
+    conv = ConvergenceSettings()
+    opt = make_adam_optimizer(conv)
+    u = jnp.ones((2, 8)) * 0.3
+    state = opt.init(u)
+    p = str(tmp_path / "run.h5")
+    assert not has_checkpoint(p) or True
+    save_checkpoint(p, u, state, 42)
+    assert has_checkpoint(p)
+    u2, state2, it = load_checkpoint(p, jnp.zeros_like(u), opt.init(u))
+    assert it == 42
+    assert np.allclose(np.asarray(u2), np.asarray(u))
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(state2)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    opt = make_adam_optimizer(ConvergenceSettings())
+    u = jnp.ones((2, 8))
+    save_checkpoint(str(tmp_path / "c.h5"), u, opt.init(u), 1)
+    wrong = jnp.ones((2, 16))
+    with pytest.raises(ValueError):
+        load_checkpoint(str(tmp_path / "c.h5"), wrong, opt.init(wrong))
