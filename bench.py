@@ -107,6 +107,46 @@ def batched_iters_per_sec(device, n_seeds=256, n_iters=200):
     return n_seeds * n_iters / (time.perf_counter() - t0)
 
 
+def dim64_iters_per_sec(device, n_iters=30):
+    """Unitary-mode GRAPE at Hilbert dim 64 (transmon-cavity scale,
+    BASELINE config 4) — the regime where per-step matmuls are real MXU
+    work.  [200 steps, 4 controls, Taylor order 8, 2 squarings]."""
+    import jax
+    import jax.numpy as jnp
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    N = 64
+    rng = np.random.default_rng(0)
+
+    def herm(n):
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        return (A + A.conj().T) / 20
+
+    H0 = np.diag(np.arange(N)).astype(complex) * 0.1
+    Hops = [herm(N) for _ in range(4)]
+    U = np.eye(N, dtype=complex)
+    U[:2, :2] = [[0, 1], [1, 0]]
+    problem = ControlProblem.build(
+        H0, Hops, ["a", "b", "c", "d"], U, 10.0, 200, [0, 1, 2, 3],
+        maxA=[1.0] * 4, seed=0, Taylor_terms=[8, 2],
+    )
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="auto")
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jax.device_put(jnp.asarray(problem.u0_base), device)
+    os0 = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)), device)
+    out = run_n(u, os0, 3)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    out = run_n(u, os0, n_iters)
+    jax.block_until_ready(out[0])
+    return n_iters / (time.perf_counter() - t0)
+
+
 def wall_clock_to_fidelity(device, engine, target=1e-4):
     """Wall-clock (excluding compile) to reach loss < target with the real
     convergence-checking segment loop."""
@@ -150,13 +190,17 @@ def main():
     wall, loss, iters = wall_clock_to_fidelity(primary, primary_engine)
     bips = batched_iters_per_sec(primary)
 
+    d64 = dim64_iters_per_sec(primary)
     if is_tpu:
         cpu = jax.devices("cpu")[0]
         cpu_ips = iters_per_sec(cpu, "scan", n_iters=1000)
         vs_baseline = ips / cpu_ips
+        cpu_d64 = dim64_iters_per_sec(cpu, n_iters=5)
+        d64_vs_cpu = d64 / cpu_d64
     else:
         cpu_ips = ips
         vs_baseline = 1.0
+        d64_vs_cpu = 1.0
 
     print(json.dumps({
         "metric": "GRAPE iterations/sec/chip (qubit pi pulse, 1000 steps)",
@@ -166,6 +210,8 @@ def main():
         "device": str(primary),
         "cpu_iters_per_sec": round(cpu_ips, 2),
         "batched_256seed_iters_per_sec": round(bips, 2),
+        "dim64_unitary_iters_per_sec": round(d64, 2),
+        "dim64_vs_cpu": round(d64_vs_cpu, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),
         "final_loss": loss,
         "iterations_to_target": iters,
