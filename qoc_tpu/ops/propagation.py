@@ -273,9 +273,30 @@ def state_transfer_chain(
             return _matvec_step(A, psi, order)
 
     if final_only:
-        body = lambda psi, w_t: (step(psi, w_t), None)
         if remat:
-            body = jax.checkpoint(body)
+            # O(sqrt(T)) memory: two-level scan with rematerialized chunks
+            # (the reference's recompute-in-backward Defun generalized,
+            # tensorflow_state.py:58; SURVEY.md section 5 long-horizon row).
+            # Zero-padded steps are exact no-ops (all weights 0 -> A=0 ->
+            # exp(0) psi = psi at any Taylor order).
+            T = weights.shape[1]
+            K = weights.shape[0]
+            chunk = max(int(T ** 0.5), 1)
+            Tc = -(-T // chunk) * chunk
+            w_t = jnp.pad(weights.T, ((0, Tc - T), (0, 0)))
+            w_chunks = w_t.reshape(Tc // chunk, chunk, K)
+
+            @jax.checkpoint
+            def outer(psi, wchunk):
+                def inner(psi, w_row):
+                    return step(psi, w_row), None
+
+                psi, _ = lax.scan(inner, psi, wchunk)
+                return psi, None
+
+            final, _ = lax.scan(outer, psi0, w_chunks)
+            return final[None]
+        body = lambda psi, w_t: (step(psi, w_t), None)
         final, _ = lax.scan(body, psi0, weights.T)
         return final[None]
 

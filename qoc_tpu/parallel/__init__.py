@@ -1,1 +1,1 @@
-from . import batch, mesh, pallas_batch
+from . import batch, mesh, pallas_batch, shard

@@ -210,3 +210,97 @@ def test_plot_summary_renders(tmp_path):
     import os
 
     assert os.path.getsize(out_png) > 10000
+
+
+def test_pi_pulse_bfgs():
+    res = run_pi_pulse("BFGS")
+    assert res.loss < 1e-3
+
+
+def test_bandpass_and_speedup_e2e():
+    """bandpass (native TPU/CPU FFT) + speed_up costs through a full run."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=False, show_plots=False,
+        reg_coeffs={"bandpass": 0.01, "band": [0.1, 5.0], "speed_up": 0.0001},
+        convergence={"rate": 0.02, "update_step": 100,
+                     "max_iterations": 300, "conv_target": 1e-3},
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+    )
+    assert res.loss < 5e-2
+    assert res.reg_loss > res.loss
+
+
+def test_dressed_forbidden_e2e():
+    """Dressed-basis forbidden-state rotation (forbid_dressed=True) through
+    a coupled two-level+spectator system."""
+    H0 = np.array([[0.0, 0.05, 0.0],
+                   [0.05, 1.0, 0.05],
+                   [0.0, 0.05, 2.2]], dtype=complex)
+    w_c, v_c, dressed_id = q.get_dressed_info(H0)
+    dinfo = {"eigenvectors": v_c, "eigenvalues": np.real(w_c),
+             "dressed_id": dressed_id, "is_dressed": True}
+    a = q.annihilate(3)
+    res = q.Grape(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 8.0, 100, [0, 1],
+        dressed_info=dinfo,
+        reg_coeffs={"forbidden_coeff_list": [5.0],
+                    "states_forbidden_list": [2],
+                    "forbid_dressed": True},
+        save=False, show_plots=False,
+        convergence={"rate": 0.02, "update_step": 100,
+                     "max_iterations": 400, "conv_target": 1e-3},
+        maxA=[2.0, 2.0], seed=0, method="Adam",
+    )
+    assert res.loss < 5e-2
+
+
+def test_qutip_verification_entry(tmp_path, capsys):
+    """The reference-compatible qutip_verification() entry point (falls back
+    to the scipy oracle when qutip is missing)."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 60,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=True, show_plots=False,
+        file_name="qv", data_path=str(tmp_path),
+        convergence={"rate": 0.02, "update_step": 50,
+                     "max_iterations": 200, "conv_target": 1e-4},
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+    )
+    from qoc_tpu.utils.verification import qutip_verification
+
+    out = qutip_verification(res.file_path, atol=1e-3)
+    assert all(out["all_close"])
+
+
+def test_remat_through_grape():
+    res = run_pi_pulse("Adam", remat=True, engine="scan")
+    assert res.loss < 1e-4
+
+
+def test_use_inter_vecs_false():
+    """use_inter_vecs=False skips intermediate states but still optimizes;
+    state-dependent costs raise loudly (quirk fix, SURVEY sec 7)."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y, q.SIGMA_Z], ["x", "y", "z"],
+        q.hadamard(1), 6.0, 60, [0, 1],
+        save=False, show_plots=False, use_inter_vecs=False,
+        convergence={"rate": 0.02, "update_step": 100,
+                     "max_iterations": 500, "conv_target": 1e-4},
+        maxA=[1.0] * 3, seed=0, method="Adam",
+    )
+    assert res.loss < 1e-3
+    assert res.inter_vecs is None
+    with pytest.raises(ValueError, match="use_inter_vecs"):
+        q.Grape(
+            H0_QUBIT, [q.SIGMA_X], ["x"], q.hadamard(1), 6.0, 20, [0, 1],
+            save=False, show_plots=False, use_inter_vecs=False,
+            reg_coeffs={"forbidden_coeff_list": [1.0],
+                        "states_forbidden_list": [1]},
+            convergence={"max_iterations": 5},
+            maxA=[1.0], seed=0, method="Adam",
+        )

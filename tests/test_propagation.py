@@ -169,3 +169,23 @@ def test_state_transfer_engines_agree(rng):
     s = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
                              order=10, engine="scan")
     assert np.allclose(np.asarray(a), np.asarray(s), atol=1e-5)
+
+
+def test_remat_chunked_matches(rng):
+    """Chunked-remat final-only scan == plain scan, values and gradients."""
+    _, _, mats, weights, _ = setup_problem(rng, T=23)
+    mats_j, w_j = jnp.asarray(mats), jnp.asarray(weights)
+    psi0 = jnp.asarray(np.eye(6, 1, dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((6, 1)).astype(np.float32))
+
+    def loss(w, remat):
+        out = state_transfer_chain(mats_j, w, psi0, order=10, engine="scan",
+                                   final_only=True, remat=remat)
+        return jnp.sum(out[-1] * tgt)
+
+    v0, g0 = jax.value_and_grad(lambda w: loss(w, False))(w_j), None
+    v1 = jax.value_and_grad(lambda w: loss(w, True))(w_j)
+    va, ga = v0
+    vb, gb = v1
+    assert np.allclose(float(va), float(vb), atol=1e-6)
+    assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
