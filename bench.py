@@ -67,7 +67,7 @@ def iters_per_sec(device, engine, n_iters=1000):
     return n_iters / (time.perf_counter() - t0)
 
 
-def batched_iters_per_sec(device, n_seeds=256, n_iters=200):
+def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     """Aggregate (seeds x iterations)/sec through the fused Pallas batch
     kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
     import jax
@@ -209,7 +209,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "device": str(primary),
         "cpu_iters_per_sec": round(cpu_ips, 2),
-        "batched_256seed_iters_per_sec": round(bips, 2),
+        "batched_1024seed_iters_per_sec": round(bips, 2),
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),

@@ -12,6 +12,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def inner_product_1d(psi1: jnp.ndarray, psi2: jnp.ndarray, state_num: int) -> jnp.ndarray:
+    """Single-vector overlap magnitude |<psi1|psi2>|^2 on the real iso
+    (get_inner_product, tensorflow_state.py:263-280)."""
+    n = state_num
+    a, b = psi1[:n], psi1[n : 2 * n]
+    c, d = psi2[:n], psi2[n : 2 * n]
+    reals = jnp.square(jnp.sum(a * c) + jnp.sum(b * d))
+    imags = jnp.square(jnp.sum(b * c) - jnp.sum(a * d))
+    return reals + imags
+
+
 def inner_product_2d(psi1: jnp.ndarray, psi2: jnp.ndarray, state_num: int) -> jnp.ndarray:
     """psi1, psi2: [2N, V] real-isomorphism stacked vectors -> scalar.
 

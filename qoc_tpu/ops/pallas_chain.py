@@ -82,7 +82,9 @@ def _fwd_kernel(order: int, mats_ref, w_ref, psi0_ref, out_ref, traj_ref):
     out_ref[:] = lax.fori_loop(0, T, step, psi0_ref[:])
 
 
-COLUMN_BLOCK = 256  # columns per grid program; bounds VMEM to ~10 MB
+COLUMN_BLOCK = 128  # columns per grid program; with grid double-buffering
+# the backward kernel holds ~2x(traj+weights+wbar) blocks, so 128 lanes
+# keeps scoped VMEM under the 16 MB limit
 
 
 def _grid_and_block(C: int):

@@ -45,12 +45,16 @@ def make_shard_map_step(
     mesh: Mesh,
     reg_coeffs: Optional[dict] = None,
     engine: str = "scan",
+    steps_per_call: int = 1,
 ):
     """Build ``step(u_bases, opt_state) -> (u, opt_state, ShardedStats)``.
 
     ``u_bases [S, K, T]`` must be sharded over ``mesh`` on axis 0 (S a
-    multiple of the mesh size).  The returned step is jitted with explicit
-    shard_map partitioning; stats are psum-reduced across the mesh axis.
+    multiple of the mesh size).  The returned step advances
+    ``steps_per_call`` Adam iterations inside ONE sharded program (a local
+    fori_loop — seeds are independent, so no collectives fire until the
+    final stats reduction); stats are psum/pmin-reduced across the mesh
+    axis at the end of the call.
     """
     _, loss_fn = make_forward(
         problem, reg_coeffs=reg_coeffs, engine=engine, lean=True,
@@ -62,8 +66,17 @@ def make_shard_map_step(
         updates, opt_st = optimizer.update(grads, opt_st, u)
         return optax.apply_updates(u, updates), opt_st, out.loss, grads
 
+    v_seed_step = jax.vmap(seed_step)
+
     def local_step(u_local, opt_local):
-        u, opt_st, losses, grads = jax.vmap(seed_step)(u_local, opt_local)
+        def body(_, carry):
+            u, opt_st, _, _ = carry
+            return v_seed_step(u, opt_st)
+
+        init = v_seed_step(u_local, opt_local)
+        u, opt_st, losses, grads = jax.lax.fori_loop(
+            1, steps_per_call, body, init
+        )
         # --- explicit collectives over the mesh axis ---------------------
         best = jax.lax.pmin(jnp.min(losses), BATCH_AXIS)
         total = jax.lax.psum(jnp.sum(losses), BATCH_AXIS)

@@ -65,6 +65,76 @@ class H5File(h5py.File if HAVE_H5PY else object):
             ds[-1] = data
         self.flush()
 
+    # -- row/point appends (data_management.py:75-107) ---------------------
+    def append_line(self, dataset, line, axis: int = 0):
+        line = np.asarray(line)
+        if isinstance(dataset, str):
+            if dataset not in self:
+                shape, maxshape = (0, len(line)), (None, len(line))
+                if axis == 1:
+                    shape, maxshape = shape[::-1], maxshape[::-1]
+                self.create_dataset(dataset, shape=shape, maxshape=maxshape,
+                                    dtype="float64")
+            dataset = self[dataset]
+        shape = list(dataset.shape)
+        shape[axis] += 1
+        dataset.resize(shape)
+        if axis == 0:
+            dataset[-1, :] = line
+        else:
+            dataset[:, -1] = line
+        self.flush()
+
+    def append_pt(self, dataset, pt):
+        if isinstance(dataset, str):
+            if dataset not in self:
+                self.create_dataset(dataset, shape=(0,), maxshape=(None,),
+                                    dtype="float64")
+            dataset = self[dataset]
+        shape = list(dataset.shape)
+        shape[0] += 1
+        dataset.resize(shape)
+        dataset[-1] = pt
+        self.flush()
+
+    # -- timestamped notes (data_management.py:109-136) --------------------
+    def note(self, note: str):
+        import datetime
+
+        ts = datetime.datetime.now()
+        if "notes" not in self:
+            self.create_dataset("notes", (0,), maxshape=(None,),
+                                dtype=h5py.string_dtype())
+        ds = self["notes"]
+        shape = list(ds.shape)
+        shape[0] += 1
+        ds.resize(shape)
+        ds[-1] = str(ts) + " -- " + note
+        self.flush()
+
+    def get_notes(self, one_string: bool = False, print_notes: bool = False):
+        notes = (
+            [n.decode() if isinstance(n, bytes) else str(n)
+             for n in self["notes"]]
+            if "notes" in self else []
+        )
+        if print_notes:
+            print("\n".join(notes))
+        if one_string:
+            return "\n".join(notes)
+        return notes
+
+    # -- plot-axis metadata (data_management.py:63-73) ---------------------
+    def set_range(self, dataset, xmin, xmax, ymin=None, ymax=None):
+        if ymin is not None and ymax is not None:
+            dataset.attrs["_axes"] = ((xmin, xmax), (ymin, ymax))
+        else:
+            dataset.attrs["_axes"] = (xmin, xmax)
+
+    def set_labels(self, dataset, x_lab, y_lab, z_lab=None):
+        labels = (x_lab, y_lab) if z_lab is None else (x_lab, y_lab, z_lab)
+        dataset.attrs["_axes_labels"] = labels
+
     def save_dict(self, d: dict, group: str = "/"):
         if group not in self:
             self.create_group(group)
@@ -73,6 +143,15 @@ class H5File(h5py.File if HAVE_H5PY else object):
 
     def get_dict(self, group: str = "/") -> dict:
         return {k: self[group].attrs[k] for k in self[group].attrs.keys()}
+
+    get_attrs = get_dict
+    save_attrs = save_dict
+
+    def save_settings(self, dic: dict, group: str = "settings"):
+        self.save_dict(dic, group)
+
+    def load_settings(self, group: str = "settings") -> dict:
+        return self.get_dict(group)
 
 
 def next_run_path(data_path: str, file_name: str) -> str:

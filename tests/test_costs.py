@@ -147,3 +147,15 @@ def test_inner_product_2d_is_fidelity(rng):
     got = float(inner_product_2d(jnp.asarray(iso(a)), jnp.asarray(iso(b)), N))
     want = np.abs(np.sum(np.conj(a) * b)) ** 2 / V**2
     assert np.isclose(got, want, rtol=1e-4)
+
+
+def test_inner_product_1d(rng):
+    from qoc_tpu.ops.inner_products import inner_product_1d
+
+    N = 5
+    a = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    b = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    iso = lambda x: np.concatenate([x.real, x.imag]).astype(np.float32)
+    got = float(inner_product_1d(jnp.asarray(iso(a)), jnp.asarray(iso(b)), N))
+    want = np.abs(np.vdot(a, b)) ** 2
+    assert np.isclose(got, want, rtol=1e-4)

@@ -103,3 +103,41 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
     wrong = jnp.ones((2, 16))
     with pytest.raises(ValueError):
         load_checkpoint(str(tmp_path / "c.h5"), wrong, opt.init(wrong))
+
+
+def test_append_line_and_pt(tmp_path):
+    p = str(tmp_path / "l.h5")
+    with H5File(p, "a") as hf:
+        hf.append_line("rows", [1.0, 2.0, 3.0])
+        hf.append_line("rows", [4.0, 5.0, 6.0])
+        hf.append_pt("pts", 0.5)
+        hf.append_pt("pts", 0.7)
+    import h5py
+
+    with h5py.File(p, "r") as hf:
+        assert hf["rows"].shape == (2, 3)
+        assert np.allclose(hf["rows"][1], [4, 5, 6])
+        assert np.allclose(hf["pts"][...], [0.5, 0.7])
+
+
+def test_notes_and_settings(tmp_path):
+    p = str(tmp_path / "n.h5")
+    with H5File(p, "a") as hf:
+        hf.note("first note")
+        hf.note("second note")
+        hf.save_settings({"alpha": 1.5, "name": "run"})
+    with H5File(p, "r") as hf:
+        notes = hf.get_notes()
+        assert len(notes) == 2 and "first note" in notes[0]
+        s = hf.load_settings()
+        assert s["alpha"] == 1.5
+
+
+def test_axes_metadata(tmp_path):
+    p = str(tmp_path / "a.h5")
+    with H5File(p, "a") as hf:
+        hf.add("data", np.zeros((4, 4)))
+        hf.set_range(hf["data"], 0.0, 1.0, -1.0, 1.0)
+        hf.set_labels(hf["data"], "time", "amp")
+    with H5File(p, "r") as hf:
+        assert np.allclose(hf["data"].attrs["_axes"], [[0, 1], [-1, 1]])

@@ -142,11 +142,11 @@ def test_shard_map_runner(eight_devices):
     mesh = make_mesh()
     conv = ConvergenceSettings.from_dict(
         {"rate": 0.03, "conv_target": 1e-3})
-    init, step = make_shard_map_step(p, conv, mesh)
+    init, step = make_shard_map_step(p, conv, mesh, steps_per_call=50)
     u = init_seeds(p, 16, jax.random.PRNGKey(0))
     u, opt_state = init(u)
     stats = None
-    for _ in range(150):
+    for _ in range(3):
         u, opt_state, stats = step(u, opt_state)
     assert float(stats.best_loss) < 1e-3
     assert float(stats.n_converged) >= 1
