@@ -43,7 +43,7 @@ def _conv(**over):
     return ConvergenceSettings.from_dict(base)
 
 
-def iters_per_sec(device, engine, n_iters=1000):
+def iters_per_sec(device, engine, n_iters=3000):
     """Steady-state single-problem throughput via fixed-count fori_loop."""
     import jax
     import jax.numpy as jnp
@@ -193,7 +193,7 @@ def main():
     d64 = dim64_iters_per_sec(primary)
     if is_tpu:
         cpu = jax.devices("cpu")[0]
-        cpu_ips = iters_per_sec(cpu, "scan", n_iters=1000)
+        cpu_ips = iters_per_sec(cpu, "scan", n_iters=3000)
         vs_baseline = ips / cpu_ips
         cpu_d64 = dim64_iters_per_sec(cpu, n_iters=5)
         d64_vs_cpu = d64 / cpu_d64
