@@ -34,10 +34,15 @@ from ..ops.pallas_chain import COLUMN_BLOCK, fused_state_chain
 
 def pallas_batch_supported(problem: ControlProblem,
                            reg_coeffs: Optional[dict]) -> bool:
-    """The fused kernel covers state-transfer problems whose selected costs
-    read only the pulse (not intermediate states), with a VMEM-sized
-    [T, K, 256] weight block."""
-    if not problem.state_transfer:
+    """The fused kernel covers problems whose selected costs read only the
+    pulse (not intermediate states), with a VMEM-sized weight block.
+
+    State-transfer problems always qualify; unitary problems qualify when
+    ``taylor_scaling == 0`` (pass ``no_scaling=True`` when building the
+    problem) — the gate fidelity only needs ``U_total @ psi0``, which is
+    exactly a column propagation, but per-step matrix squaring cannot be
+    expressed on propagated columns."""
+    if not problem.state_transfer and problem.taylor_scaling != 0:
         return False
     if any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS):
         return False
@@ -73,6 +78,10 @@ def make_pallas_batched_loss(
         mats_list.append(jnp.asarray(extra_channel_mats, dtype=jnp.float32))
     mats = jnp.concatenate(mats_list, axis=0)
     psi0 = jnp.asarray(p.initial_vectors)          # [M, V]
+    if not p.state_transfer:
+        # unitary mode: columns start at U0 @ psi0; the chain then applies
+        # P_{T-1}..P_0, matching final_U @ psi0 (tensorflow_state.py:214-227)
+        psi0 = jnp.matmul(jnp.asarray(p.U0_iso), psi0)
     tgt = jnp.asarray(p.target_vectors)            # [M, V]
     max_amp = jnp.asarray(p.ops_max_amp)
     one_minus_gauss = jnp.asarray(p.one_minus_gauss)
@@ -104,11 +113,17 @@ def make_pallas_batched_loss(
         C_pad = C if C <= COLUMN_BLOCK else (
             -(-C // COLUMN_BLOCK) * COLUMN_BLOCK
         )
+        # Taylor truncation: the kernel keeps powers 0..order-1 (the
+        # state-transfer matvec convention, tensorflow_state.py:92);
+        # unitary mode keeps powers 0..taylor_terms -> order+1.
+        kernel_order = (
+            p.taylor_terms if p.state_transfer else p.taylor_terms + 1
+        )
         out = fused_state_chain(
             mats,
             _pad_columns(w_cols, C, C_pad),
             _pad_columns(psi_cols, C, C_pad),
-            p.taylor_terms,
+            kernel_order,
         )[:, :C]                                             # [M, S*V]
 
         # coherent fidelity per seed (inner_product_2d semantics)

@@ -157,3 +157,48 @@ def test_shard_map_runner(eight_devices):
     losses = [float(loss_fn(jnp.asarray(u[s]))[1].loss) for s in range(16)]
     # u has been updated once past the recorded stats; just sanity-range it
     assert 0 <= float(stats.mean_loss) <= 1.5
+
+
+def test_pallas_backend_unitary_mode():
+    """Unitary (gate) problems with no_scaling route through the fused
+    kernel: batched loss/gradients match the per-seed XLA forward."""
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.parallel.pallas_batch import (
+        make_pallas_batched_loss, pallas_batch_supported,
+    )
+
+    p = ControlProblem.build(
+        np.zeros((2, 2), dtype=complex),
+        [q.SIGMA_X, q.SIGMA_Y, q.SIGMA_Z], ["x", "y", "z"],
+        q.hadamard(1), 6.0, 30, [0, 1],
+        maxA=[1.0] * 3, seed=0, no_scaling=True,
+    )
+    assert p.taylor_scaling == 0
+    assert pallas_batch_supported(p, None)
+    bl = make_pallas_batched_loss(p)
+    S = 3
+    u = np.asarray(init_seeds(p, S, jax.random.PRNGKey(2)))
+    reg_losses, fid_losses = bl(jnp.asarray(u))
+    _, loss_fn = make_forward(p, lean=True, engine="scan")
+    for s in range(S):
+        rl, out = loss_fn(jnp.asarray(u[s]))
+        assert np.isclose(float(fid_losses[s]), float(out.loss), atol=1e-5)
+    g_p = jax.grad(lambda u: jnp.sum(bl(u)[0]))(jnp.asarray(u))
+    g_x = np.stack([
+        np.asarray(jax.grad(lambda x: loss_fn(x)[0])(jnp.asarray(u[s])))
+        for s in range(S)
+    ])
+    assert np.allclose(np.asarray(g_p), g_x, atol=1e-4)
+
+
+def test_pallas_unitary_scaling_unsupported():
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.parallel.pallas_batch import pallas_batch_supported
+
+    p = ControlProblem.build(
+        np.zeros((2, 2), dtype=complex), [q.SIGMA_X], ["x"],
+        q.hadamard(1), 6.0, 30, [0, 1], maxA=[1.0], seed=0,
+        Taylor_terms=[6, 2],
+    )
+    assert not pallas_batch_supported(p, None)
