@@ -241,23 +241,39 @@ def Grape(
             )
             print(f"resumed from {resume_from} at iteration {it_r}")
 
-        while True:
-            it = int(state.iteration)
-            stop_at = min(it + conv.update_step, conv.max_iterations + 1)
-            state = run_segment(state, jnp.asarray(stop_at, dtype=jnp.int32))
-            save_step(
-                int(state.iteration), float(state.loss),
-                float(state.reg_loss), float(state.grad_squared),
-                float(state.unitary_scale), np.asarray(state.u_base),
-                start_time,
-            )
+        try:
+            while True:
+                it = int(state.iteration)
+                stop_at = min(it + conv.update_step, conv.max_iterations + 1)
+                state = run_segment(
+                    state, jnp.asarray(stop_at, dtype=jnp.int32))
+                save_step(
+                    int(state.iteration), float(state.loss),
+                    float(state.reg_loss), float(state.grad_squared),
+                    float(state.unitary_scale), np.asarray(state.u_base),
+                    start_time,
+                )
+                if save:
+                    from .utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(file_path, state.u_base, state.opt_state,
+                                    int(state.iteration))
+                if bool(state.done):
+                    break
+        except KeyboardInterrupt:
+            # graceful interrupt (grape.py:130-139): persist wall clock and
+            # the latest checkpoint, return the current iterate — unlike the
+            # reference, the run is resumable via resume_from=<file>.
             if save:
                 from .utils.checkpoint import save_checkpoint
+                from .utils.h5 import H5File
 
                 save_checkpoint(file_path, state.u_base, state.opt_state,
                                 int(state.iteration))
-            if bool(state.done):
-                break
+                with H5File(file_path, "a") as hf:
+                    hf.add("wall_clock_time",
+                           np.array(time.time() - grape_start_time))
+                print("interrupted; data saved at: " + str(file_path))
         u_base = np.asarray(state.u_base)
         loss, reg_loss = float(state.loss), float(state.reg_loss)
         uscale = float(state.unitary_scale)
