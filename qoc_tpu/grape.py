@@ -283,6 +283,36 @@ def Grape(
         inter_vecs = (
             np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
         )
+    elif method_u in ("L-BFGS-JAX", "LBFGS", "LBFGS-JAX"):
+        # native on-device L-BFGS (optax) — the fast path; use 'L-BFGS-B'
+        # for the scipy bridge with exact reference-parity options
+        from .optim.lbfgs import make_lbfgs_runner
+
+        import jax.numpy as jnp
+
+        init_state, run_segment = make_lbfgs_runner(loss_fn, conv)
+        state = init_state(problem.u0_base)
+        while True:
+            it = int(state.iteration)
+            stop_at = min(it + conv.update_step, conv.max_iterations + 1)
+            state = run_segment(state, jnp.asarray(stop_at, dtype=jnp.int32))
+            save_step(
+                int(state.iteration), float(state.loss),
+                float(state.reg_loss), float(state.grad_squared),
+                float(state.unitary_scale), np.asarray(state.u_base),
+                start_time,
+            )
+            if bool(state.done):
+                break
+        u_base = np.asarray(state.u_base)
+        loss, reg_loss = float(state.loss), float(state.reg_loss)
+        uscale = float(state.unitary_scale)
+        iterations = int(state.iteration)
+        out = forward(u_base)
+        final_state = np.asarray(out.final_state)
+        inter_vecs = (
+            np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
+        )
     elif method_u in ("BFGS", "L-BFGS-B"):
         print("Starting " + method_u + " Optimization")
         update_step = conv.update_step

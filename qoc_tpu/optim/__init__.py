@@ -1,1 +1,1 @@
-from . import adam, convergence, scipy_bridge
+from . import adam, convergence, lbfgs, scipy_bridge

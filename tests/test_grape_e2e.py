@@ -304,3 +304,9 @@ def test_use_inter_vecs_false():
             convergence={"max_iterations": 5},
             maxA=[1.0], seed=0, method="Adam",
         )
+
+
+def test_pi_pulse_native_lbfgs():
+    """On-device optax L-BFGS (the fast quasi-Newton path)."""
+    res = run_pi_pulse("L-BFGS-JAX")
+    assert res.loss < 1e-4

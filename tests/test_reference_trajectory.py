@@ -151,3 +151,91 @@ def test_reference_mode_matches_numpy_implementation():
     g_dev = np.asarray(
         jax.grad(lambda u: loss_fn(u)[0])(jnp.asarray(problem.u0_base)))
     assert np.allclose(g_dev, g_np, atol=1e-5)
+
+
+def numpy_reference_unitary_grad(problem, u_base):
+    """Unitary-mode reference gradient: exact autodiff through the chained
+    matmuls (TF handles those, tensorflow_state.py:214-223) combined with
+    the approximate matexp_op custom gradient
+    wbar[k,t] = sum(Pbar_t * (H_k @ P_t)) (tensorflow_state.py:61-63)."""
+    p = problem
+    mats = np.asarray(p.mats, dtype=np.float64)
+    U0 = np.asarray(p.U0_iso, np.float64)
+    psi0 = np.asarray(p.initial_vectors, np.float64)
+    tgt = np.asarray(p.target_vectors, np.float64)
+    maxA = np.asarray(p.ops_max_amp, np.float64)
+    order, scaling = p.taylor_terms, p.taylor_scaling
+    N = p.state_num
+    V = psi0.shape[1]
+    T = p.steps
+    M = mats.shape[-1]
+
+    w = np.concatenate(
+        [np.ones((1, T)), maxA[:, None] * np.sin(u_base)], axis=0
+    )
+
+    def matexp(A):
+        A = A / (2.0 ** scaling)
+        E = np.eye(M) + A
+        An = A
+        fact = 1.0
+        for n in range(2, order + 1):
+            fact *= n
+            An = A @ An
+            E = E + An / fact
+        for _ in range(scaling):
+            E = E @ E
+        return E
+
+    P = [matexp(np.einsum("k,kij->ij", w[:, t], mats)) for t in range(T)]
+
+    # rights R_t = P_{t-1}..P_0 U0; lefts L_t = P_{T-1}..P_{t+1}
+    R = [U0]
+    for t in range(T):
+        R.append(P[t] @ R[t])
+    final = R[-1]
+    L = [np.eye(M)]
+    for t in range(T - 1, -1, -1):
+        L.insert(0, L[0] @ P[t])
+    # L[t] corresponds to product P_{T-1}..P_t ; we need P_{T-1}..P_{t+1}:
+    lefts = L[1:]  # lefts[t] = P_{T-1}..P_{t+1}
+
+    # loss cotangent wrt final unitary
+    fv = final @ psi0
+    a, b = fv[:N], fv[N:]
+    c, d = tgt[:N], tgt[N:]
+    Rr = np.sum(a * c + b * d)
+    Ii = np.sum(b * c - a * d)
+    loss = 1.0 - (Rr * Rr + Ii * Ii) / (V * V)
+    Gv = np.zeros_like(fv)
+    Gv[:N] = -(2 * Rr * c - 2 * Ii * d) / (V * V)
+    Gv[N:] = -(2 * Rr * d + 2 * Ii * c) / (V * V)
+    Fbar = Gv @ psi0.T
+
+    wbar = np.zeros_like(w)
+    for t in range(T):
+        Pbar = lefts[t].T @ Fbar @ R[t].T
+        for k in range(1, len(mats)):
+            wbar[k, t] = np.sum(Pbar * (mats[k] @ P[t]))
+    ubar = wbar[1:] * maxA[:, None] * np.cos(u_base)
+    return loss, ubar
+
+
+def test_reference_mode_unitary_gradient_matches_numpy():
+    problem = ControlProblem.build(
+        np.zeros((2, 2), dtype=complex),
+        [q.SIGMA_X, q.SIGMA_Y, q.SIGMA_Z], ["x", "y", "z"],
+        q.hadamard(1), 6.0, 12, [0, 1],
+        maxA=[0.9] * 3, seed=5, Taylor_terms=[7, 1],
+    )
+    u0 = np.asarray(problem.u0_base, np.float64)
+    loss_np, g_np = numpy_reference_unitary_grad(problem, u0)
+
+    _, loss_fn = make_forward(problem, gradient_mode="reference",
+                              engine="scan", lean=True)
+    loss_dev, out = loss_fn(jnp.asarray(problem.u0_base))
+    g_dev = np.asarray(
+        jax.grad(lambda u: loss_fn(u)[0])(jnp.asarray(problem.u0_base)))
+    assert np.isclose(float(out.loss), loss_np, atol=1e-5)
+    scale = max(np.max(np.abs(g_np)), 1e-8)
+    assert np.max(np.abs(g_dev - g_np)) / scale < 1e-4
