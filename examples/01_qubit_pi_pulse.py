@@ -9,6 +9,9 @@ Run:  python examples/01_qubit_pi_pulse.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import qoc_tpu as q
 
 

@@ -8,6 +8,9 @@ Run:  python examples/02_cnot_gate.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import qoc_tpu as q
 
 

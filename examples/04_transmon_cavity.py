@@ -10,6 +10,9 @@ Run:  python examples/04_transmon_cavity.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import qoc_tpu as q
 
 

@@ -13,6 +13,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import qoc_tpu as q
 from qoc_tpu.models.system import ControlProblem
 from qoc_tpu.ops.isomorphism import c_to_r_mat
