@@ -61,6 +61,7 @@ def make_batched_runner(
     sweep_mats: bool = False,
     mesh=None,
     backend: str = "auto",
+    extra_channel_mats=None,
 ):
     """Build (init_state, run_segment) for S-way batched Adam.
 
@@ -72,6 +73,11 @@ def make_batched_runner(
     (parallel/pallas_batch.py, ~14x the vmapped path for small dims);
     'xla' vmaps the generic forward; 'auto' picks pallas when supported on
     a TPU backend.
+
+    ``extra_channel_mats`` ([E, 2N, 2N] real iso, pallas backend only):
+    fixed operator channels whose constant per-seed weights ride the
+    runner's ``mats_b`` operand as ``extra_weights [S, E]`` — the
+    Hamiltonian-sweep mechanism for the fused kernel.
     """
     optimizer = make_adam_optimizer(conv)
 
@@ -89,16 +95,18 @@ def make_batched_runner(
     if backend == "pallas":
         from .pallas_batch import make_pallas_batched_loss
 
-        batched_loss = make_pallas_batched_loss(problem, reg_coeffs)
+        batched_loss = make_pallas_batched_loss(
+            problem, reg_coeffs, extra_channel_mats=extra_channel_mats
+        )
 
-        def _total(u_bases):
-            reg_losses, fid_losses = batched_loss(u_bases)
+        def _total(u_bases, extra_w):
+            reg_losses, fid_losses = batched_loss(u_bases, extra_w)
             return jnp.sum(reg_losses), (reg_losses, fid_losses)
 
         def batch_metrics(u_bases, mats_b):
             (_, (reg_losses, fid_losses)), grads = jax.value_and_grad(
                 _total, has_aux=True
-            )(u_bases)
+            )(u_bases, mats_b)
             g2 = 0.5 * jnp.sum(jnp.square(grads), axis=(1, 2))
             return fid_losses, reg_losses, g2, grads
 
@@ -190,6 +198,7 @@ def batched_grape_adam(
     gradient_mode: str = "exact",
     engine: str = "auto",
     backend: str = "auto",
+    extra_channels=None,
     progress: Optional[Callable] = None,
 ):
     """Optimize ``n_seeds`` independent pulse initializations in parallel.
@@ -197,23 +206,41 @@ def batched_grape_adam(
     Returns a dict with per-seed losses, pulses, iteration counts, and the
     best seed's physical pulse amplitudes.  With ``mesh`` given, the seed
     axis is sharded over the mesh devices (data-parallel over ICI/DCN).
-    With ``mats_batch`` given ([S, K+1, 2N, 2N]), each seed optimizes a
-    different Hamiltonian (parameter sweep).
+
+    Hamiltonian sweeps, two mechanisms:
+      * ``mats_batch`` ([S, K+1, 2N, 2N]): fully general per-seed
+        generators, XLA backend;
+      * ``extra_channels=(extra_mats [E, 2N, 2N], extra_weights [S, E])``:
+        swept terms expressed as fixed operator channels with constant
+        per-seed weights — rides the fused Pallas kernel.
     """
     conv = ConvergenceSettings.from_dict(convergence)
     sweep = mats_batch is not None
+    if sweep and extra_channels is not None:
+        raise ValueError("pass either mats_batch or extra_channels, not both")
+    extra_mats = extra_w = None
+    if extra_channels is not None:
+        extra_mats, extra_w = extra_channels
+        if backend == "auto":
+            backend = "pallas"
     init_state, run_segment = make_batched_runner(
         problem, conv, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
         engine=engine, sweep_mats=sweep, mesh=mesh, backend=backend,
+        extra_channel_mats=extra_mats,
     )
     key = jax.random.PRNGKey(seed)
     u_bases = init_seeds(problem, n_seeds, key)
-    mats_b = jnp.asarray(mats_batch) if sweep else None
+    if sweep:
+        mats_b = jnp.asarray(mats_batch)
+    elif extra_w is not None:
+        mats_b = jnp.asarray(extra_w, dtype=jnp.float32)
+    else:
+        mats_b = None
 
     if mesh is not None:
         shard = batch_sharding(mesh)
         u_bases = jax.device_put(u_bases, shard)
-        if sweep:
+        if mats_b is not None:
             mats_b = jax.device_put(mats_b, shard)
 
     state = init_state(u_bases)

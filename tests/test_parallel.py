@@ -202,3 +202,23 @@ def test_pallas_unitary_scaling_unsupported():
         Taylor_terms=[6, 2],
     )
     assert not pallas_batch_supported(p, None)
+
+
+def test_batched_grape_extra_channels_sweep():
+    """End-to-end detuning sweep via extra channels through the batched
+    runner (pallas kernel path, interpret mode on CPU)."""
+    from qoc_tpu.ops.isomorphism import c_to_r_mat
+
+    p = pi_problem(steps=30)
+    S = 3
+    NUM = np.diag([0.0, 1.0]).astype(complex)
+    extra_mats = np.stack([c_to_r_mat(-1j * p.dt * NUM)]).astype(np.float32)
+    extra_w = np.linspace(0.0, 0.1, S)[:, None].astype(np.float32)
+    out = batched_grape_adam(
+        p, n_seeds=S,
+        convergence={"rate": 0.03, "update_step": 40, "max_iterations": 120,
+                     "conv_target": 1e-3},
+        seed=0, extra_channels=(extra_mats, extra_w),
+    )
+    # all detunings admit near-perfect pulses
+    assert np.all(out["losses"] < 5e-2)
