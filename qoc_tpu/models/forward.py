@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def make_forward(
     engine: str = "auto",
     remat: bool = False,
     lean: bool = False,
+    representation: str = "auto",
 ):
     """Build the pure forward function ``u_base [K,T] -> ForwardOutput``.
 
@@ -49,8 +51,27 @@ def make_forward(
     state via the product tree.  The default (lean=False) is the *analysis*
     forward and always emits inter_vecs when use_inter_vecs (the
     reference's plotting/h5 contract, tensorflow_state.py:381-384).
+
+    ``representation``: 'iso' propagates the real 2Nx2N isomorphism (the
+    reference's choice, SURVEY sec 2.1); 'complex' propagates native
+    complex64 NxN.  Raw complex matmuls have half the flops and measured
+    ~1.9x faster at dim 64 on TPU v5lite, but the full pipeline is ~1.4x
+    SLOWER end-to-end (XLA splits every non-matmul complex op into
+    real/imag pairs, and complex arrays cannot cross host<->device on this
+    runtime at all), so 'auto' resolves to 'iso'.  'complex' remains a
+    tested, numerically-identical alternative.  Outputs (final_state,
+    inter_vecs) are always in iso layout.
     """
     p = problem
+    if representation == "auto":
+        representation = "iso"
+    if representation == "complex":
+        if gradient_mode != "exact":
+            raise ValueError(
+                "representation='complex' supports only exact gradients; "
+                "the reference-parity custom VJPs are iso-layout"
+            )
+        return _make_forward_complex(p, reg_coeffs, engine, remat, lean)
     mats = jnp.asarray(p.mats)
     U0 = jnp.asarray(p.U0_iso)
     psi0 = jnp.asarray(p.initial_vectors)
@@ -147,6 +168,131 @@ def make_forward(
                              inter_vecs, ops_weight)
 
     def loss_fn(u_base: jnp.ndarray, mats_in: jnp.ndarray | None = None):
+        out = forward(u_base, mats_in)
+        return out.reg_loss, out
+
+    return forward, loss_fn
+
+
+def _make_forward_complex(p, reg_coeffs, engine, remat, lean):
+    """Native-complex64 forward: same math, half the matmul flops.
+
+    Propagation runs on [N, N] complex64 (XLA lowers complex matmuls to
+    real MXU passes on the half-size operands); the loss, penalties, and
+    all outputs are converted to the iso layout at the boundary so every
+    downstream consumer (costs, analysis, persistence) is unchanged.
+    """
+    from ..ops.expm import taylor_expm, weighted_hamiltonians, _bmm
+    from ..ops.propagation import chain_product_tree
+
+    # NOTE: host<->device transfer of complex64 arrays is UNIMPLEMENTED on
+    # the axon TPU runtime (both directions: device_put and the constant
+    # embedding that pulls closures back to host).  Keep every closure in
+    # float32 real/imag pairs and assemble the complex values INSIDE the
+    # traced function.
+    mats_re = jnp.asarray(np.real(p.mats_c).astype(np.float32))
+    mats_im = jnp.asarray(np.imag(p.mats_c).astype(np.float32))
+    U0_re = jnp.asarray(np.real(p.U0_c).astype(np.float32))
+    U0_im = jnp.asarray(np.imag(p.U0_c).astype(np.float32))
+    psi0_arr = p.initial_vectors_c.T
+    psi0_re = jnp.asarray(np.real(psi0_arr).astype(np.float32))
+    psi0_im = jnp.asarray(np.imag(psi0_arr).astype(np.float32))
+    N = p.state_num
+    V = psi0_arr.shape[1]
+    tv_iso = jnp.asarray(p.target_vectors)
+    max_amp = jnp.asarray(p.ops_max_amp)
+    one_minus_gauss = jnp.asarray(p.one_minus_gauss)
+    v_sorted_iso = (
+        jnp.asarray(p.v_sorted_iso) if p.v_sorted_iso is not None else None
+    )
+
+    if lean:
+        needs_inter = p.use_inter_vecs and any(
+            k in (reg_coeffs or {}) for k in INTER_VEC_COSTS
+        )
+    else:
+        needs_inter = p.use_inter_vecs
+
+    def vecs_to_iso(vc):
+        # [..., N, V] complex -> [..., 2N, V] iso
+        return jnp.concatenate([jnp.real(vc), jnp.imag(vc)], axis=-2)
+
+    def mat_to_iso(Mc):
+        re, im = jnp.real(Mc), jnp.imag(Mc)
+        return jnp.concatenate(
+            [jnp.concatenate([re, -im], axis=-1),
+             jnp.concatenate([im, re], axis=-1)], axis=-2
+        )
+
+    def forward(u_base, mats_in=None):
+        # complex closures assembled in-graph (see transfer note above)
+        mats_c = mats_re + 1j * mats_im
+        U0_c = U0_re + 1j * U0_im
+        psi0_c = psi0_re + 1j * psi0_im
+        target_c = tv_iso[:N, :] + 1j * tv_iso[N:, :]
+
+        def fidelity_loss(final_c):
+            # 1 - |sum_v <t_v|psi_v>|^2 / V^2 (coherent, = inner_product_2D)
+            ov = jnp.sum(jnp.conj(target_c) * final_c)
+            return 1.0 - (jnp.real(ov) ** 2 + jnp.imag(ov) ** 2) / (V * V)
+
+        mats_ = mats_c if mats_in is None else mats_in
+        ops_weight = jnp.sin(u_base)
+        amps = max_amp[:, None] * ops_weight
+        ones = jnp.ones((1, p.steps), dtype=amps.dtype)
+        weights = jnp.concatenate([ones, amps], axis=0)
+        A = weighted_hamiltonians(mats_, weights.astype(jnp.complex64))
+
+        if p.state_transfer:
+            order, scaling = p.taylor_terms - 1, 0
+        else:
+            order, scaling = p.taylor_terms, p.taylor_scaling
+        P = taylor_expm(A, order, scaling)                 # [T, N, N]
+
+        if needs_inter:
+            from jax import lax
+
+            cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
+            cumU = _bmm(cum, U0_c)
+            final_U = cumU[-1]
+            vecs_c = _bmm(cumU, psi0_c)
+            inter_c = jnp.concatenate(
+                [(_bmm(U0_c, psi0_c))[None], vecs_c], axis=0)
+            inter_vecs = vecs_to_iso(inter_c)
+        else:
+            final_U = _bmm(chain_product_tree(P), U0_c)
+            inter_vecs = None
+
+        final_c = _bmm(final_U, psi0_c)
+        loss = fidelity_loss(final_c)
+
+        if p.state_transfer:
+            final_state = vecs_to_iso(final_c)
+            # ip2d(final, final) (tensorflow_state.py:335)
+            ov = jnp.sum(jnp.conj(final_c) * final_c)
+            unitary_scale = (jnp.real(ov) ** 2 + jnp.imag(ov) ** 2) / (V * V)
+        else:
+            F = mat_to_iso(final_U)
+            final_state = F
+            unitary_scale = (0.5 / N) * jnp.sum(
+                jnp.matmul(F.T, F, precision=HIGHEST))
+
+        ctx = CostContext(
+            ops_weight=ops_weight,
+            inter_vecs=inter_vecs,
+            target_vecs=tv_iso,
+            state_num=N,
+            steps=p.steps,
+            dt=p.dt,
+            total_time=p.total_time,
+            one_minus_gauss=one_minus_gauss,
+            v_sorted_iso=v_sorted_iso,
+        )
+        reg_loss = loss + total_reg_cost(ctx, reg_coeffs)
+        return ForwardOutput(loss, reg_loss, unitary_scale, final_state,
+                             inter_vecs, ops_weight)
+
+    def loss_fn(u_base, mats_in=None):
         out = forward(u_base, mats_in)
         return out.reg_loss, out
 

@@ -47,7 +47,9 @@ class ControlProblem:
 
     # arrays (host numpy; converted to jnp at jit boundaries)
     mats: np.ndarray             # [K+1, 2N, 2N]  -i*dt*H real iso, row 0 = H0
+    mats_c: np.ndarray           # [K+1, N, N]  -i*dt*H complex64
     U0_iso: np.ndarray           # [2N, 2N]
+    U0_c: np.ndarray             # [N, N] complex64
     target_unitary_iso: Optional[np.ndarray]   # [2N, 2N] (unitary mode)
     initial_vectors: np.ndarray  # [2N, V] stacked columns
     target_vectors: np.ndarray   # [2N, V] stacked columns
@@ -154,11 +156,16 @@ class ControlProblem:
                 state_transfer, no_scaling,
             )
 
-        # generators in real iso (system_parameters.py:194-206)
+        # generators in real iso (system_parameters.py:194-206) and in
+        # native complex64 (the alternative representation SURVEY sec 2.1
+        # contemplates — 2x fewer matmul flops for medium dims on TPU)
         mats = np.stack(
             [c_to_r_mat(-1j * dt * H0)]
             + [c_to_r_mat(-1j * dt * op) for op in Hops]
         ).astype(np.float32)
+        mats_c = np.stack(
+            [-1j * dt * H0] + [-1j * dt * op for op in Hops]
+        ).astype(np.complex64)
 
         # Gaussian envelope mask (system_parameters.py:253-266)
         gauss = np.exp(-np.power(np.linspace(-2, 2, steps), 2.0) / 2.0)
@@ -193,7 +200,9 @@ class ControlProblem:
             use_inter_vecs=bool(use_inter_vecs),
             is_dressed=is_dressed,
             mats=mats,
+            mats_c=mats_c,
             U0_iso=c_to_r_mat(U0).astype(np.float32),
+            U0_c=U0.astype(np.complex64),
             target_unitary_iso=target_unitary_iso,
             initial_vectors=initial_vectors,
             target_vectors=target_vectors,

@@ -189,3 +189,67 @@ def test_remat_chunked_matches(rng):
     vb, gb = v1
     assert np.allclose(float(va), float(vb), atol=1e-6)
     assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_complex_representation_matches_iso(rng):
+    """Native-complex64 forward == iso forward: loss, reg, grads,
+    inter_vecs (numerically identical math, alternate layout)."""
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+
+    def herm(n):
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        return (A + A.conj().T) / 10
+
+    N = 5
+    H0 = np.diag(np.arange(N)).astype(complex) * 0.3
+    Hops = [herm(N), herm(N)]
+    U = np.eye(N, dtype=complex)
+    U[:2, :2] = [[0, 1], [1, 0]]
+    p = ControlProblem.build(H0, Hops, ["a", "b"], U, 5.0, 40, [0, 1],
+                             maxA=[1.0] * 2, seed=0)
+    regs = {"amplitude": 0.1, "dwdt": 0.01}
+    _, lf_iso = make_forward(p, reg_coeffs=regs, representation="iso",
+                             lean=True, engine="scan")
+    _, lf_cpx = make_forward(p, reg_coeffs=regs, representation="complex",
+                             lean=True)
+    u = jnp.asarray(p.u0_base)
+    rl_i, oi = lf_iso(u)
+    rl_c, oc = lf_cpx(u)
+    assert np.isclose(float(oi.loss), float(oc.loss), atol=1e-6)
+    assert np.isclose(float(rl_i), float(rl_c), atol=1e-6)
+    assert np.isclose(float(oi.unitary_scale), float(oc.unitary_scale),
+                      atol=1e-5)
+    g_i = jax.grad(lambda u: lf_iso(u)[0])(u)
+    g_c = jax.grad(lambda u: lf_cpx(u)[0])(u)
+    assert np.allclose(np.asarray(g_i), np.asarray(g_c), atol=1e-6)
+
+    # state transfer with an inter-vec cost exercises the boundary convert
+    ps = ControlProblem.build(
+        H0, Hops, ["a", "b"], [np.eye(N, dtype=complex)[:, 1]], 5.0, 30,
+        [np.eye(N, dtype=complex)[:, 0]], state_transfer=True,
+        maxA=[1.0] * 2, seed=0)
+    regs2 = {"forbidden_coeff_list": [1.0], "states_forbidden_list": [3]}
+    _, sf_iso = make_forward(ps, reg_coeffs=regs2, representation="iso",
+                             lean=True, engine="scan")
+    _, sf_cpx = make_forward(ps, reg_coeffs=regs2, representation="complex",
+                             lean=True)
+    rl_i, oi = sf_iso(jnp.asarray(ps.u0_base))
+    rl_c, oc = sf_cpx(jnp.asarray(ps.u0_base))
+    assert np.isclose(float(rl_i), float(rl_c), atol=1e-6)
+    assert np.allclose(np.asarray(oi.inter_vecs), np.asarray(oc.inter_vecs),
+                       atol=1e-5)
+
+
+def test_complex_rejects_reference_gradients():
+    import pytest as _pytest
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+
+    p = ControlProblem.build(
+        np.zeros((2, 2), dtype=complex), [q.SIGMA_X], ["x"],
+        np.eye(2, dtype=complex), 1.0, 4, [0], maxA=[1.0], seed=0)
+    with _pytest.raises(ValueError, match="complex"):
+        make_forward(p, gradient_mode="reference", representation="complex")
