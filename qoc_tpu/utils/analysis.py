@@ -92,3 +92,13 @@ def append_evolution(
             hf.append("inter_vecs_raw_imag", np.imag(vc))
             pops = populations(problem, inter_vecs)
             hf.append("inter_vecs_mag_squared", pops)
+            # dressed-rotated components (analysis.py:78-79, :98-99)
+            vc_rot = vc
+            if problem.is_dressed:
+                v_sorted = sort_ev(
+                    np.asarray(problem.dressed_info["eigenvectors"]),
+                    list(problem.dressed_info["dressed_id"]),
+                )
+                vc_rot = np.einsum("ij,vjt->vit", np.transpose(v_sorted), vc)
+            hf.append("inter_vecs_real", np.real(vc_rot))
+            hf.append("inter_vecs_imag", np.imag(vc_rot))

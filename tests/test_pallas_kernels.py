@@ -120,3 +120,41 @@ def test_state_chain_kernel_gradients(rng):
         jnp.asarray(w), jnp.asarray(psi0))
     assert rel_close(np.asarray(gw_p), np.asarray(gw_s), 1e-4)
     assert rel_close(np.asarray(gp_p), np.asarray(gp_s), 1e-4)
+
+
+def test_tree_kernel_T1_edge(rng):
+    """T=1 pads to Tp=2 with an identity factor."""
+    mats = (0.1 * rng.standard_normal((2, 4, 4))).astype(np.float32)
+    w = rng.standard_normal((2, 1)).astype(np.float32)
+    w[0] = 1.0
+    E = np.asarray(fused_tree_chain(jnp.asarray(mats), jnp.asarray(w), 6, 0))
+    P = np.asarray(step_propagators(jnp.asarray(mats), jnp.asarray(w), 6, 0))
+    assert np.allclose(E, P[0], atol=1e-5)
+
+
+def test_state_chain_high_order(rng):
+    """Taylor order 12 (large p_scratch) still matches the scan."""
+    K, M, C, T = 2, 4, 2, 6
+    mats = (0.2 * rng.standard_normal((K, M, M))).astype(np.float32)
+    w = rng.standard_normal((T, K, C)).astype(np.float32)
+    w[:, 0, :] = 1.0
+    psi0 = rng.standard_normal((M, C)).astype(np.float32)
+    out = np.asarray(fused_state_chain(jnp.asarray(mats), jnp.asarray(w),
+                                       jnp.asarray(psi0), 12))
+    for c in range(C):
+        vecs = state_transfer_chain(
+            jnp.asarray(mats), jnp.asarray(w[:, :, c].T),
+            jnp.asarray(psi0[:, c : c + 1]), order=12, engine="scan")
+        assert np.allclose(out[:, c], np.asarray(vecs[-1])[:, 0], atol=1e-5)
+
+
+def test_state_chain_bad_column_count(rng):
+    from qoc_tpu.ops.pallas_chain import COLUMN_BLOCK
+
+    C = COLUMN_BLOCK + 1  # > block, not a multiple
+    mats = np.zeros((2, 4, 4), np.float32)
+    w = np.ones((3, 2, C), np.float32)
+    psi0 = np.ones((4, C), np.float32)
+    with pytest.raises(ValueError, match="multiple"):
+        fused_state_chain(jnp.asarray(mats), jnp.asarray(w),
+                          jnp.asarray(psi0), 3)
