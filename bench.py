@@ -22,6 +22,20 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    """Force completion AND fetch a scalar derived from x.
+
+    On the tunneled TPU runtime (axon PJRT plugin) ``block_until_ready`` can
+    return before enqueued Pallas work drains — measured: a 400k-iteration
+    kernel "completed" in 3.8ms by block_until_ready but took its true
+    ~1.3s when the value was fetched.  Every timing here therefore ends
+    with a device->host value fetch, which is unconditionally honest.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
 def _problem(steps=1000):
     import qoc_tpu as q
     from qoc_tpu.models.system import ControlProblem
@@ -59,11 +73,27 @@ def iters_per_sec(device, engine, n_iters=3000):
     opt_state = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)),
                                device)
     # compile + warm
-    out = run_n(u, opt_state, 10)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, opt_state, n_iters)[0])
     t0 = time.perf_counter()
-    out = run_n(u, opt_state, n_iters)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, opt_state, n_iters)[0])
+    return n_iters / (time.perf_counter() - t0)
+
+
+def iters_per_sec_mega(n_iters=30000):
+    """Single-problem throughput through the fused multi-iteration kernel
+    (ops/pallas_mega.py): the ENTIRE n-iteration Adam run is ONE Pallas
+    program — zero per-iteration dispatch.  ~3.3us/iteration on TPU v5lite
+    (vs ~17us for the per-iteration fused-tree path)."""
+    from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
+
+    problem = _problem()
+    conv = _conv()
+    init_state, run_segment, _ = make_mega_segment_runner(
+        problem, conv, throughput=True)
+    ms = init_state(problem.u0_base)
+    _sync(run_segment(ms, n_iters).u_base)   # compile + warm
+    t0 = time.perf_counter()
+    _sync(run_segment(ms, n_iters).u_base)
     return n_iters / (time.perf_counter() - t0)
 
 
@@ -99,11 +129,9 @@ def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     u = init_seeds(problem, n_seeds, jax.random.PRNGKey(0))
     u = jax.device_put(u, device)
     os0 = jax.device_put(jax.vmap(optimizer.init)(u), device)
-    out = run_n(u, os0, 5)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, os0, 5)[0])
     t0 = time.perf_counter()
-    out = run_n(u, os0, n_iters)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, os0, n_iters)[0])
     return n_seeds * n_iters / (time.perf_counter() - t0)
 
 
@@ -139,26 +167,42 @@ def dim64_iters_per_sec(device, n_iters=30):
     run_n = make_throughput_runner(loss_fn, conv, optimizer)
     u = jax.device_put(jnp.asarray(problem.u0_base), device)
     os0 = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)), device)
-    out = run_n(u, os0, 3)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, os0, 3)[0])
     t0 = time.perf_counter()
-    out = run_n(u, os0, n_iters)
-    jax.block_until_ready(out[0])
+    _sync(run_n(u, os0, n_iters)[0])
     return n_iters / (time.perf_counter() - t0)
 
 
 def wall_clock_to_fidelity(device, engine, target=1e-4):
     """Wall-clock (excluding compile) to reach loss < target with the real
-    convergence-checking segment loop."""
+    convergence-checking segment loop (engine='mega' = the fused-kernel
+    path Grape takes by default on accelerators)."""
     import jax
     import jax.numpy as jnp
+
+    problem = _problem()
+    conv = _conv(conv_target=target)
+
+    if engine == "mega":
+        from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
+
+        init_state, run_segment, _ = make_mega_segment_runner(problem, conv)
+        state = init_state(problem.u0_base)
+        _sync(run_segment(state, 1).u_base)   # compile (n=1 & n=update_step)
+        _sync(run_segment(state, conv.update_step).u_base)
+        t0 = time.perf_counter()
+        while True:
+            state = run_segment(state, conv.update_step)
+            if bool(state.done):
+                break
+        _sync(state.u_base)
+        return time.perf_counter() - t0, float(state.loss), int(state.iteration)
+
     from qoc_tpu.models.forward import make_forward
     from qoc_tpu.optim.adam import (
         init_adam_state, make_adam_optimizer, make_segment_runner,
     )
 
-    problem = _problem()
-    conv = _conv(conv_target=target)
     _, loss_fn = make_forward(problem, lean=True, engine=engine)
     optimizer = make_adam_optimizer(conv)
     run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)
@@ -166,7 +210,7 @@ def wall_clock_to_fidelity(device, engine, target=1e-4):
         jax.device_put(jnp.asarray(problem.u0_base), device), optimizer
     )
     warm = run_segment(state, jnp.asarray(1, dtype=jnp.int32))
-    jax.block_until_ready(warm.u_base)
+    _sync(warm.u_base)
     t0 = time.perf_counter()
     while True:
         stop = jnp.asarray(int(state.iteration) + conv.update_step,
@@ -174,7 +218,7 @@ def wall_clock_to_fidelity(device, engine, target=1e-4):
         state = run_segment(state, stop)
         if bool(state.done):
             break
-    jax.block_until_ready(state.u_base)
+    _sync(state.u_base)
     wall = time.perf_counter() - t0
     return wall, float(state.loss), int(state.iteration)
 
@@ -184,10 +228,15 @@ def main():
 
     primary = jax.devices()[0]
     is_tpu = primary.platform != "cpu"
-    primary_engine = "auto"
 
-    ips = iters_per_sec(primary, primary_engine)
-    wall, loss, iters = wall_clock_to_fidelity(primary, primary_engine)
+    if is_tpu:
+        ips = iters_per_sec_mega()
+        xla_ips = iters_per_sec(primary, "auto")
+        wall, loss, iters = wall_clock_to_fidelity(primary, "mega")
+    else:
+        ips = iters_per_sec(primary, "scan")
+        xla_ips = ips
+        wall, loss, iters = wall_clock_to_fidelity(primary, "scan")
     bips = batched_iters_per_sec(primary)
 
     d64 = dim64_iters_per_sec(primary)
@@ -209,6 +258,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "device": str(primary),
         "cpu_iters_per_sec": round(cpu_ips, 2),
+        "xla_tree_iters_per_sec": round(xla_ips, 2),
         "batched_1024seed_iters_per_sec": round(bips, 2),
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),

@@ -13,6 +13,31 @@ Public surface mirrors the reference's star-import convenience
 plus the model-building kit.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first-compile latency through the
+# remote TPU runtime is 20-150s per program; with the cache, every repeat
+# invocation (reruns, benchmarks, resumed jobs) loads compiled executables
+# from disk instead.  Opt out with QOC_TPU_NO_COMPILE_CACHE=1; relocate
+# with QOC_TPU_COMPILE_CACHE=<dir>.
+if _os.environ.get("QOC_TPU_NO_COMPILE_CACHE", "") != "1":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "QOC_TPU_COMPILE_CACHE",
+                _os.path.expanduser("~/.cache/qoc_tpu_jax"),
+            ),
+        )
+        # Cache even sub-second programs: through the tunneled runtime every
+        # tiny eager-op compile (convert_element_type, add, ...) costs
+        # ~0.4s, and a Grape run dispatches dozens of them.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .grape import Grape, GrapeResult
 from .models.system import ControlProblem
 from .models.gates import (

@@ -146,11 +146,19 @@ def Grape(
     # intermediate-state materialization unless a cost reads it)
     forward, _ = make_forward(
         problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
-        engine=engine, remat=remat, lean=False,
+        engine="auto" if engine == "mega" else engine, remat=remat,
+        lean=False,
     )
+    # jit: the analysis forward is ONE program instead of dozens of eager
+    # op dispatches (each distinct program costs ~0.4s to instantiate on
+    # the tunneled TPU runtime)
+    import jax as _jax
+
+    forward = _jax.jit(forward)
     _, loss_fn = make_forward(
         problem, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
-        engine=engine, remat=remat, lean=True,
+        engine="auto" if engine == "mega" else engine, remat=remat,
+        lean=True,
     )
 
     history = History()
@@ -224,39 +232,78 @@ def Grape(
             np.asarray(out.inter_vecs) if out.inter_vecs is not None else None
         )
     elif method_u == "ADAM":
-        optimizer = make_adam_optimizer(conv)
-        run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)
-        state = init_adam_state(problem.u0_base, optimizer)
+        import jax
         import jax.numpy as jnp
+
+        from .ops.pallas_mega import (
+            MegaAdamState,
+            make_mega_segment_runner,
+            mega_state_from_optax,
+            mega_state_to_optax,
+            mega_supported,
+        )
+
+        # Fused multi-iteration kernel: the whole update_step segment (fwd +
+        # bwd + Adam + convergence tests) runs as ONE Pallas program — the
+        # fast path for pure-fidelity objectives at tree-supported sizes.
+        # engine='mega' forces it (incl. CPU interpret, for tests); 'auto'
+        # takes it on accelerators only.
+        use_mega = (
+            engine in ("auto", "mega")
+            and mega_supported(problem, reg_coeffs, gradient_mode)
+            and (engine == "mega" or jax.default_backend() != "cpu")
+        )
+        optimizer = make_adam_optimizer(conv)
+        if use_mega:
+            init_mega, run_mega, unpad = make_mega_segment_runner(
+                problem, conv)
+            state = init_mega(problem.u0_base)
+        else:
+            run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)
+            state = init_adam_state(problem.u0_base, optimizer)
+
+        def ckpt_tuple(s):
+            if use_mega:
+                return mega_state_to_optax(s, conv, problem.steps)
+            return s.u_base, s.opt_state
 
         if resume_from is not None:
             from .utils.checkpoint import load_checkpoint
 
-            u_r, opt_r, it_r = load_checkpoint(
-                resume_from, state.u_base, state.opt_state
-            )
-            state = state._replace(
-                u_base=u_r, opt_state=opt_r,
-                iteration=jnp.asarray(it_r, dtype=jnp.int32),
-            )
+            tmpl_u, tmpl_opt = ckpt_tuple(state)
+            u_r, opt_r, it_r = load_checkpoint(resume_from, tmpl_u, tmpl_opt)
+            if use_mega:
+                state = mega_state_from_optax(state, u_r, opt_r, it_r)
+            else:
+                state = state._replace(
+                    u_base=u_r, opt_state=opt_r,
+                    iteration=jnp.asarray(it_r, dtype=jnp.int32),
+                )
             print(f"resumed from {resume_from} at iteration {it_r}")
+
+        def host_u(s):
+            return np.asarray(unpad(s.u_base) if use_mega else s.u_base)
 
         try:
             while True:
                 it = int(state.iteration)
                 stop_at = min(it + conv.update_step, conv.max_iterations + 1)
-                state = run_segment(
-                    state, jnp.asarray(stop_at, dtype=jnp.int32))
+                if use_mega:
+                    state = run_mega(state, stop_at - it)
+                else:
+                    state = run_segment(
+                        state, jnp.asarray(stop_at, dtype=jnp.int32))
                 save_step(
                     int(state.iteration), float(state.loss),
                     float(state.reg_loss), float(state.grad_squared),
-                    float(state.unitary_scale), np.asarray(state.u_base),
+                    float(state.unitary_scale), host_u(state),
                     start_time,
                 )
                 if save:
                     from .utils.checkpoint import save_checkpoint
 
-                    save_checkpoint(file_path, state.u_base, state.opt_state,
+                    ck_u, ck_opt = ckpt_tuple(state)
+                    save_checkpoint(file_path, ck_u, ck_opt,
                                     int(state.iteration))
                 if bool(state.done):
                     break
@@ -268,13 +315,14 @@ def Grape(
                 from .utils.checkpoint import save_checkpoint
                 from .utils.h5 import H5File
 
-                save_checkpoint(file_path, state.u_base, state.opt_state,
+                ck_u, ck_opt = ckpt_tuple(state)
+                save_checkpoint(file_path, ck_u, ck_opt,
                                 int(state.iteration))
                 with H5File(file_path, "a") as hf:
                     hf.add("wall_clock_time",
                            np.array(time.time() - grape_start_time))
                 print("interrupted; data saved at: " + str(file_path))
-        u_base = np.asarray(state.u_base)
+        u_base = host_u(state)
         loss, reg_loss = float(state.loss), float(state.reg_loss)
         uscale = float(state.unitary_scale)
         iterations = int(state.iteration)

@@ -1,0 +1,380 @@
+"""Fused multi-iteration GRAPE optimizer kernel — one Pallas program runs N
+complete Adam iterations (forward chain + fidelity loss + backward + update).
+
+Motivation: with the fused tree kernel (pallas_tree.py) a single-problem
+GRAPE iteration is still 2 kernel launches + ~15 XLA ops; at small Hilbert
+dimension the iteration is pure dispatch latency (~16us on TPU v5lite).
+Everything the iteration touches — controls [K, T], Adam moments, Taylor
+residuals, the product tree — fits comfortably in VMEM for the dimensions
+the tree path supports (M_real <= 12), so the entire optimization segment
+can run inside ONE kernel with a ``fori_loop`` over iterations and zero
+HBM/dispatch traffic in between.
+
+Semantics replicated exactly (same math as optim/adam.py):
+  * forward/loss: the lean forward of models/forward.py — the reference's
+    ``sin``-bounded amplitudes (tensorflow_state.py:176-178), the Taylor
+    step propagators and chain product (tensorflow_state.py:204-261), the
+    coherent fidelity ``1 - |<target|final>|^2/V^2``
+    (get_inner_product_2D, tensorflow_state.py:282-300).
+  * optimizer: optax-equivalent Adam (b1=.9, b2=.999, eps=1e-8, bias
+    correction) with the reference's exponential LR schedule
+    ``rate * exp(-iter/decay)`` (run_session.py:66).
+  * convergence: metrics evaluated at the *current* iterate, then
+    ``loss < conv_target | grad^2 < min_grad | iter >= max_iterations``
+    decides whether the update is applied (run_session.py:53-58) — once
+    converged the iterate is frozen for the rest of the segment.
+
+Measured (TPU v5lite, qubit pi pulse, T=1000, order 20): ~4.5us per
+iteration vs ~16us for the per-iteration fused-tree path and ~240us for
+the op-per-op XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_tree import (
+    _interpret,
+    _levels,
+    _next_pow2,
+    tree_backward_vals,
+    tree_chain_supported,
+    tree_forward_vals,
+)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _mega_kernel(
+    # static
+    M, N, T, order, scaling, n_iters, unitary_mode,
+    b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+    # refs: inputs
+    mats_ref, psi0_ref, target_ref, maxamp_ref, u0rows_ref,
+    u_ref, m_ref, v_ref, sf_ref, si_ref,
+    # refs: outputs
+    u_out, m_out, v_out, met_out,
+):
+    Kc = u_ref.shape[0]
+    Tp = u_ref.shape[1]
+    V = psi0_ref.shape[1]
+    mats = mats_ref[:]
+    psi0 = psi0_ref[:]
+    target = target_ref[:]
+    maxamp = maxamp_ref[:]          # [Kc, 1]
+    lane_kt = lax.broadcasted_iota(jnp.int32, (Kc, Tp), 1)
+    live = (lane_kt < T).astype(jnp.float32)          # real-timestep mask
+    ones_row = (lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < T).astype(
+        jnp.float32
+    )
+    lane3 = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+    ta, tb = target[:N, :], target[N:, :]
+
+    def iteration(i, carry):
+        u, am, av, lr, itc, done = carry
+
+        # ---- forward: weights -> chain product E (lane 0) ----
+        amps = maxamp * jnp.sin(u) * live
+        w = jnp.concatenate([ones_row, amps], axis=0)     # [Kc+1, Tp]
+        X, an, sq, tree = tree_forward_vals(M, order, scaling, mats, w)
+        E = X[:, :, 0:1]                                  # [M, M, 1]
+
+        # final[i, v] = sum_j E[i, j] * psi0p[j, v]
+        final = None
+        for j in range(M):
+            term = E[:, j, :] * psi0[j][None, :]          # [M,1]*[1,V]
+            final = term if final is None else final + term
+
+        # fidelity loss (get_inner_product_2D)
+        fa, fb = final[:N, :], final[N:, :]
+        re = jnp.sum(fa * ta) + jnp.sum(fb * tb)
+        im = jnp.sum(fb * ta) - jnp.sum(fa * tb)
+        loss = 1.0 - (re * re + im * im) / (V * V)
+
+        if unitary_mode:
+            # 0.5/N * sum(F^T F) = 0.5/N * sum_i (row_i(E @ U0) . 1)^2
+            erow = None
+            for j in range(M):
+                term = E[:, j, :] * u0rows_ref[j][None, :]   # [M,1]
+                erow = term if erow is None else erow + term
+            uscale = (0.5 / N) * jnp.sum(erow * erow)
+        else:
+            uscale = (jnp.sum(fa * fa) + jnp.sum(fb * fb)) ** 2 / (V * V)
+
+        # ---- backward: dL/dE -> dL/du ----
+        scale2 = -2.0 / (V * V)
+        fbar_top = scale2 * (re * ta - im * tb)
+        fbar_bot = scale2 * (re * tb + im * ta)
+        fbar = jnp.concatenate([fbar_top, fbar_bot], axis=0)   # [M, V]
+        Ebar0 = None
+        for v_ in range(V):
+            term = fbar[:, v_ : v_ + 1] * psi0[:, v_][None, :]  # [M, M]
+            Ebar0 = term if Ebar0 is None else Ebar0 + term
+        Ebar = jnp.where(lane3 == 0, Ebar0[:, :, None], 0.0)
+        wrows = tree_backward_vals(M, order, scaling, mats, an, sq, tree,
+                                   Ebar)
+        wbar = jnp.stack(wrows[1:])                        # drop drift row
+        g = wbar * maxamp * jnp.cos(u) * live
+        g2 = 0.5 * jnp.sum(g * g)                          # tf.nn.l2_loss
+
+        # ---- convergence test at the current iterate ----
+        converged = jnp.logical_or(
+            loss < conv_target,
+            jnp.logical_or(g2 < min_grad, itc >= max_iterations),
+        )
+        done_new = jnp.logical_or(done > 0.5, converged)
+        do = jnp.where(done_new, 0.0, 1.0)
+
+        # ---- Adam (optax scale_by_adam + exp-decay LR + scale(-1)) ----
+        am_n = b1 * am + (1.0 - b1) * g
+        av_n = b2 * av + (1.0 - b2) * (g * g)
+        cnt = itc + 1.0
+        bc1 = 1.0 - jnp.exp(cnt * np.log(b1))
+        bc2 = 1.0 - jnp.exp(cnt * np.log(b2))
+        upd = (am_n / bc1) / (jnp.sqrt(av_n / bc2) + eps)
+        u_n = u - lr * upd
+
+        u = u + do * (u_n - u)
+        am = am + do * (am_n - am)
+        av = av + do * (av_n - av)
+        lr = lr * jnp.where(done_new, 1.0, rate_factor)
+        itc = itc + do
+        return (u, am, av, lr, itc, done_new.astype(jnp.float32),
+                loss, g2, uscale)
+
+    lr0 = sf_ref[0]
+    it0 = sf_ref[1]
+    done0 = sf_ref[2]
+    zero = jnp.float32(0.0)
+    carry = (u_ref[:], m_ref[:], v_ref[:], lr0, it0, done0)
+
+    def body(i, full):
+        out = iteration(i, full[:6])
+        return out
+
+    out = lax.fori_loop(
+        0, n_iters, body,
+        carry + (zero + jnp.inf, zero + jnp.inf, zero),
+    )
+    u, am, av, lr, itc, done, loss, g2, uscale = out
+    u_out[:] = u
+    m_out[:] = am
+    v_out[:] = av
+    met_out[0] = loss
+    met_out[1] = g2
+    met_out[2] = uscale
+    met_out[3] = lr
+    met_out[4] = itc
+    met_out[5] = done
+
+
+@functools.lru_cache(maxsize=64)
+def _build_mega_call(
+    M, N, T, Kc, V, order, scaling, n_iters, unitary_mode,
+    b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+):
+    Tp = _next_pow2(max(T, 2))
+    kernel = functools.partial(
+        _mega_kernel, M, N, T, order, scaling, n_iters, unitary_mode,
+        b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Kc, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((Kc, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((Kc, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_interpret(),
+    )
+
+    # ONE program per segment: the scalar packing/unpacking lives inside the
+    # jit so a segment costs a single dispatch (the tunneled runtime charges
+    # ~0.4s per *distinct* program instantiated in a process — eager scalar
+    # ops around the kernel would triple the program count).
+    @jax.jit
+    def seg(mats, psi0p, target, maxamp, u0rows, u, m, v, lr, it, done):
+        sf = jnp.stack([
+            lr.astype(jnp.float32),
+            it.astype(jnp.float32),
+            done.astype(jnp.float32),
+        ])
+        si = jnp.zeros((1,), dtype=jnp.int32)
+        u2, m2, v2, met = call(
+            mats, psi0p, target, maxamp, u0rows, u, m, v, sf, si)
+        return (u2, m2, v2, met[3], met[4].astype(jnp.int32),
+                met[0], met[1], met[2], met[5] > 0.5)
+
+    return seg
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+
+class MegaAdamState(NamedTuple):
+    """Optimizer state for the fused kernel (mirrors optim.adam.AdamState;
+    the Adam moments/LR are explicit instead of an optax pytree)."""
+
+    u_base: jnp.ndarray        # [Kc, Tp] (zero-padded past T)
+    m: jnp.ndarray
+    v: jnp.ndarray
+    lr: jnp.ndarray
+    iteration: jnp.ndarray     # int32
+    loss: jnp.ndarray
+    reg_loss: jnp.ndarray
+    grad_squared: jnp.ndarray
+    unitary_scale: jnp.ndarray
+    done: jnp.ndarray          # bool
+
+
+def mega_supported(problem, reg_coeffs=None, gradient_mode="exact") -> bool:
+    """The fused-optimizer path covers the pure-fidelity objective on
+    problems small enough for the VMEM-resident tree (M_real <= 12)."""
+    return (
+        not reg_coeffs
+        and gradient_mode == "exact"
+        and problem.initial_vectors.shape[1] <= 16
+        and tree_chain_supported(2 * problem.state_num, problem.steps)
+    )
+
+
+def make_mega_segment_runner(problem, conv, throughput: bool = False):
+    """(init_state, run_segment) on the fused multi-iteration kernel.
+
+    ``run_segment(state, n)`` advances up to ``n`` iterations (python int;
+    compiled once per distinct n) with the same convergence semantics as
+    optim.adam.make_segment_runner.  ``throughput=True`` disables the
+    convergence predicates (fixed-count benchmarking, the analog of
+    make_throughput_runner).
+    """
+    p = problem
+    M = 2 * p.state_num
+    T = p.steps
+    Tp = _next_pow2(max(T, 2))
+    Kc = p.ops_len
+    if p.state_transfer:
+        order, scaling = p.taylor_terms - 1, 0
+        psi0p = np.asarray(p.initial_vectors, dtype=np.float32)
+        u0rows = np.zeros((M, 1), dtype=np.float32)
+    else:
+        order, scaling = p.taylor_terms, p.taylor_scaling
+        psi0p = np.asarray(
+            p.U0_iso @ p.initial_vectors, dtype=np.float32)
+        u0rows = np.asarray(
+            p.U0_iso @ np.ones((M, 1)), dtype=np.float32)
+    V = psi0p.shape[1]
+    mats = jnp.asarray(p.mats, dtype=jnp.float32)
+    psi0p = jnp.asarray(psi0p)
+    u0rows = jnp.asarray(u0rows)
+    target = jnp.asarray(p.target_vectors, dtype=jnp.float32)
+    maxamp = jnp.asarray(
+        np.asarray(p.ops_max_amp, dtype=np.float32).reshape(Kc, 1))
+    rate_factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
+    if throughput:
+        conv_target, min_grad, max_iterations = -1.0, -1.0, 2**30
+    else:
+        conv_target = float(conv.conv_target)
+        min_grad = float(conv.min_grad)
+        max_iterations = int(conv.max_iterations)
+
+    def init_state(u_base) -> MegaAdamState:
+        # host-side numpy: zero extra device programs at init
+        u = np.asarray(u_base, dtype=np.float32)
+        u = np.pad(u, ((0, 0), (0, Tp - T)))
+        return MegaAdamState(
+            u_base=u, m=np.zeros_like(u), v=np.zeros_like(u),
+            lr=np.float32(conv.rate),
+            iteration=np.int32(0),
+            loss=np.float32(np.inf), reg_loss=np.float32(np.inf),
+            grad_squared=np.float32(np.inf),
+            unitary_scale=np.float32(0.0),
+            done=np.bool_(False),
+        )
+
+    def run_segment(state: MegaAdamState, n: int) -> MegaAdamState:
+        seg = _build_mega_call(
+            M, p.state_num, T, Kc, V, order, scaling, int(n),
+            not p.state_transfer, 0.9, 0.999, 1e-8, rate_factor,
+            conv_target, min_grad, max_iterations,
+        )
+        u, m_, v_, lr, it, loss, g2, uscale, done = seg(
+            mats, psi0p, target, maxamp, u0rows,
+            jnp.asarray(state.u_base), jnp.asarray(state.m),
+            jnp.asarray(state.v), jnp.asarray(state.lr),
+            jnp.asarray(state.iteration), jnp.asarray(state.done),
+        )
+        return MegaAdamState(
+            u_base=u, m=m_, v=v_, lr=lr, iteration=it,
+            loss=loss, reg_loss=loss, grad_squared=g2,
+            unitary_scale=uscale, done=done,
+        )
+
+    def unpad(u_padded):
+        return np.asarray(u_padded)[:, :T]
+
+    return init_state, run_segment, unpad
+
+
+# ---------------------------------------------------------------------------
+# optax interop (checkpoints shared with optim/adam.py's driver)
+# ---------------------------------------------------------------------------
+
+
+def mega_state_to_optax(state: MegaAdamState, conv, steps: int):
+    """(u_base, opt_state) in the exact pytree layout optim.adam's optimizer
+    produces, so mega-path checkpoints restore into the XLA path and back."""
+    from ..optim.adam import make_adam_optimizer
+
+    u = np.asarray(state.u_base)[:, :steps]
+    opt = make_adam_optimizer(conv)
+    tmpl = opt.init(jnp.asarray(u))
+    adam_s = tmpl[0]._replace(
+        count=jnp.asarray(state.iteration),
+        mu=jnp.asarray(np.asarray(state.m)[:, :steps]),
+        nu=jnp.asarray(np.asarray(state.v)[:, :steps]),
+    )
+    return jnp.asarray(u), (adam_s, {"lr": jnp.asarray(state.lr)}) + tuple(
+        tmpl[2:])
+
+
+def mega_state_from_optax(state: MegaAdamState, u_base, opt_state,
+                          iteration: int) -> MegaAdamState:
+    """Load (u_base, opt_state, iteration) — e.g. from utils.checkpoint —
+    into a MegaAdamState (inverse of ``mega_state_to_optax``)."""
+    T = np.asarray(u_base).shape[1]
+    Tp = state.u_base.shape[1]
+
+    def pad(x):
+        return np.pad(np.asarray(x, dtype=np.float32),
+                      ((0, 0), (0, Tp - T)))
+
+    adam_s = opt_state[0]
+    return state._replace(
+        u_base=pad(u_base), m=pad(adam_s.mu), v=pad(adam_s.nu),
+        lr=np.float32(np.asarray(opt_state[1]["lr"])),
+        iteration=np.int32(iteration),
+    )

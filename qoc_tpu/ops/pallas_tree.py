@@ -89,46 +89,119 @@ def _identity3(M: int, Tp: int):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# value-level forward/backward (shared by the standalone kernels below and
+# the fused multi-iteration optimizer kernel in pallas_mega.py)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(M, order, scaling, mats_ref, w_ref, out_ref,
-                an_ref, sq_ref, tree_ref):
-    K = w_ref.shape[0]
-    Tp = w_ref.shape[1]
+def tree_forward_vals(M, order, scaling, mats, w):
+    """Taylor expm + squarings + rolling product tree, on VALUES.
+
+    mats: [K, M, M]; w: [K, Tp] (Tp a power of two, zero-padded).
+    Returns (X [M, M, Tp] — total chain product valid at lane 0,
+             an: list of A^1..A^{order-1}, sq: list of pre-squaring E's,
+             tree: list of per-level inputs), each element [M, M, Tp].
+    """
+    K = w.shape[0]
+    Tp = w.shape[1]
     L = _levels(Tp)
 
     # A[i,j,t] = (sum_k mats[k,i,j] * w[k,t]) / 2^scaling
-    A = mats_ref[0][:, :, None] * w_ref[0][None, None, :]
+    A = mats[0][:, :, None] * w[0][None, None, :]
     for k in range(1, K):
-        A = A + mats_ref[k][:, :, None] * w_ref[k][None, None, :]
+        A = A + mats[k][:, :, None] * w[k][None, None, :]
     if scaling:
         A = A * (1.0 / (2.0 ** scaling))
 
     # Taylor: E = I + sum_n A^n / n!
     E = _identity3(M, Tp) + A
     An = A
-    an_ref[0] = A
+    an = [A]
     factorial = 1.0
     for n in range(2, order + 1):
         factorial *= n
         An = _mm(M, A, An)
         if n < order:  # backward only needs A^1..A^{order-1}
-            an_ref[n - 1] = An
+            an.append(An)
         E = E + An * (1.0 / factorial)
 
-    # scaling & squaring
+    sq = []
     for s in range(scaling):
-        sq_ref[s] = E
+        sq.append(E)
         E = _mm(M, E, E)
 
     # rolling product tree: lane t accumulates P_{t+2^l-1}..P_t
     X = E
+    tree = []
     for l in range(L):
-        tree_ref[l] = X
+        tree.append(X)
         X = _mm(M, _roll(X, -(1 << l)), X)
+    return X, an, sq, tree
 
+
+def tree_backward_vals(M, order, scaling, mats, an, sq, tree, Ebar):
+    """Reverse-mode of ``tree_forward_vals`` on VALUES.
+
+    Ebar: [M, M, Tp] cotangent of the tree output (caller masks to lane 0).
+    Returns wbar rows: list of K arrays [Tp] (stack for [K, Tp]).
+    """
+    K = mats.shape[0]
+    Tp = Ebar.shape[-1]
+    L = _levels(Tp)
+    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+
+    # tree reverse
+    for l in range(L - 1, -1, -1):
+        d = 1 << l
+        X = tree[l]
+        # level output is valid only at lanes = 0 mod 2d
+        Rb = jnp.where(lane % (2 * d) == 0, Ebar, 0.0)
+        Y = _roll(X, -d)
+        Ebar = _mm_tn(M, Y, Rb) + _roll(_mm_nt(M, Rb, X), d)
+
+    # squarings reverse: E' = E^2  ->  Ebar = Ebar E^T + E^T Ebar
+    for s in range(scaling - 1, -1, -1):
+        Es = sq[s]
+        Ebar = _mm_nt(M, Ebar, Es) + _mm_tn(M, Es, Ebar)
+
+    # Taylor reverse: E = I + sum_{n=1}^{order} A^n/n!,  A^n = A A^{n-1}
+    A = an[0]
+    factorial = 1.0
+    for n in range(2, order + 1):
+        factorial *= n
+    anbar = Ebar * (1.0 / factorial)          # cotangent of A^order
+    Abar = jnp.zeros_like(Ebar)
+    fac_n = factorial
+    for n in range(order, 1, -1):
+        Anm1 = an[n - 2]
+        Abar = Abar + _mm_nt(M, anbar, Anm1)
+        fac_n = fac_n / n                      # (n-1)!
+        anbar = _mm_tn(M, A, anbar) + Ebar * (1.0 / fac_n)
+    Abar = Abar + anbar                        # n=1 term: A^1 = A
+    if scaling:
+        Abar = Abar * (1.0 / (2.0 ** scaling))
+
+    # w_bar[k, t] = sum_{ij} mats[k,i,j] * Abar[i,j,t]
+    return [
+        jnp.sum(mats[k][:, :, None] * Abar, axis=(0, 1)) for k in range(K)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(M, order, scaling, mats_ref, w_ref, out_ref,
+                an_ref, sq_ref, tree_ref):
+    X, an, sq, tree = tree_forward_vals(M, order, scaling, mats_ref[:],
+                                        w_ref[:])
+    for i, v in enumerate(an[: max(order - 1, 1)]):
+        an_ref[i] = v
+    for i, v in enumerate(sq):
+        sq_ref[i] = v
+    for i, v in enumerate(tree):
+        tree_ref[i] = v
     out_ref[:] = X[:, :, 0:1]
 
 
@@ -162,51 +235,17 @@ def _fwd_call(mats, w, order: int, scaling: int):
 
 def _bwd_kernel(M, order, scaling, mats_ref, w_ref, an_ref, sq_ref,
                 tree_ref, g_ref, wbar_ref):
-    K = w_ref.shape[0]
     Tp = w_ref.shape[1]
     L = _levels(Tp)
     lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
 
     # seed: cotangent of the tree output lives at lane 0 only
     Ebar = jnp.where(lane == 0, g_ref[:, :, 0:1], 0.0)
-
-    # tree reverse
-    for l in range(L - 1, -1, -1):
-        d = 1 << l
-        X = tree_ref[l]
-        # level output is valid only at lanes = 0 mod 2d
-        Rb = jnp.where(lane % (2 * d) == 0, Ebar, 0.0)
-        Y = _roll(X, -d)
-        Ebar = _mm_tn(M, Y, Rb) + _roll(_mm_nt(M, Rb, X), d)
-
-    # squarings reverse: E' = E^2  ->  Ebar = Ebar E^T + E^T Ebar
-    for s in range(scaling - 1, -1, -1):
-        Es = sq_ref[s]
-        Ebar = _mm_nt(M, Ebar, Es) + _mm_tn(M, Es, Ebar)
-
-    # Taylor reverse: E = I + sum_{n=1}^{order} A^n/n!,  A^n = A A^{n-1}
-    A = an_ref[0]
-    factorial = 1.0
-    for n in range(2, order + 1):
-        factorial *= n
-    anbar = Ebar * (1.0 / factorial)          # cotangent of A^order
-    Abar = jnp.zeros_like(Ebar)
-    fac_n = factorial
-    for n in range(order, 1, -1):
-        Anm1 = an_ref[n - 2]
-        Abar = Abar + _mm_nt(M, anbar, Anm1)
-        fac_n = fac_n / n                      # (n-1)!
-        anbar = _mm_tn(M, A, anbar) + Ebar * (1.0 / fac_n)
-    Abar = Abar + anbar                        # n=1 term: A^1 = A
-    if scaling:
-        Abar = Abar * (1.0 / (2.0 ** scaling))
-
-    # w_bar[k, t] = sum_{ij} mats[k,i,j] * Abar[i,j,t]
-    rows = []
-    for k in range(K):
-        rows.append(
-            jnp.sum(mats_ref[k][:, :, None] * Abar, axis=(0, 1))
-        )
+    an = [an_ref[i] for i in range(max(order - 1, 1))]
+    sq = [sq_ref[s] for s in range(scaling)]
+    tree = [tree_ref[l] for l in range(L)]
+    rows = tree_backward_vals(M, order, scaling, mats_ref[:], an, sq, tree,
+                              Ebar)
     wbar_ref[:] = jnp.stack(rows)
 
 
