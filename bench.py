@@ -97,6 +97,29 @@ def iters_per_sec_mega(n_iters=30000):
     return n_iters / (time.perf_counter() - t0)
 
 
+def batched_iters_per_sec_mega(n_seeds=1024, n_iters=100):
+    """Aggregate (seeds x iterations)/sec through the fused batched
+    OPTIMIZER kernel (parallel/pallas_mega_batch.py): every seed's whole
+    Adam segment runs in one kernel launch."""
+    import jax
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.pallas_mega_batch import make_mega_batched_runner
+
+    import numpy as _np
+
+    problem = _problem()
+    conv = _conv()
+    init_state, run_n, _ = make_mega_batched_runner(problem, conv)
+    u0 = _np.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
+    st = init_state(u0)
+    st = run_n(st, n_iters)
+    _np.asarray(st.losses)      # compile + drain
+    t0 = time.perf_counter()
+    out = run_n(st, n_iters)
+    _np.asarray(out.losses)
+    return n_seeds * n_iters / (time.perf_counter() - t0)
+
+
 def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     """Aggregate (seeds x iterations)/sec through the fused Pallas batch
     kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
@@ -237,7 +260,8 @@ def main():
         ips = iters_per_sec(primary, "scan")
         xla_ips = ips
         wall, loss, iters = wall_clock_to_fidelity(primary, "scan")
-    bips = batched_iters_per_sec(primary)
+    bips = (batched_iters_per_sec_mega() if is_tpu
+            else batched_iters_per_sec(primary))
 
     d64 = dim64_iters_per_sec(primary)
     if is_tpu:
