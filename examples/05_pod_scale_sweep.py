@@ -44,16 +44,26 @@ def main():
     print(f"{n_seeds} seeds: best loss {out['best_loss']:.2e}, "
           f"{int(np.sum(out['converged']))} converged")
 
-    # --- detuning sweep via a constant-weight extra operator channel ------
+    # --- detuning sweep OPTIMIZED through the fused batched-optimizer
+    # kernel: every (seed, detuning) cell runs its whole Adam segment
+    # inside one kernel launch per device -------------------------------
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.parallel.pallas_mega_batch import make_mega_batched_runner
+
     NUM = np.diag([0.0, 1.0]).astype(complex)
     extra = np.stack(
         [c_to_r_mat(-1j * problem.dt * NUM)]).astype(np.float32)
-    batched_loss = make_pallas_batched_loss(
-        problem, extra_channel_mats=extra)
-    deltas = jnp.linspace(0.0, 0.2, n_seeds)[:, None]
-    u = init_seeds(problem, n_seeds, jax.random.PRNGKey(1))
-    reg_losses, fid_losses = batched_loss(u, deltas)
-    print("sweep initial losses:", np.asarray(fid_losses)[:4], "...")
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.01, "update_step": 100, "max_iterations": 2000,
+         "conv_target": 1e-6})
+    deltas = np.linspace(0.0, 0.2, n_seeds)[:, None].astype(np.float32)
+    u = np.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(1)))
+    init_state, run_n, read_u = make_mega_batched_runner(
+        problem, conv, extra_channel_mats=extra, mesh=mesh)
+    state = run_n(init_state(u), 500, extra_weights=deltas)
+    losses = np.asarray(state.losses)
+    print(f"sweep after 500 iters: best {losses.min():.2e} "
+          f"worst {losses.max():.2e} (detuning 0..0.2)")
 
 
 if __name__ == "__main__":

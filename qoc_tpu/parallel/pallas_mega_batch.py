@@ -267,18 +267,13 @@ def _build_call(M, N, Kc, E, T, order, n_iters, CB, G,
         input_output_aliases={7: 0, 8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             # default scoped-vmem budget is 16 MB; the resident optimizer
-            # state (u/m/v + trajectory + wbar at 128 columns) needs ~24 MB
+            # state (u/m/v + trajectory + wbar at 512 columns) needs ~37 MB
             # of the chip's physical VMEM
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )
-
-    @jax.jit
-    def seg(mats, matsT, maxamp, psi0, tgt, ew, sf, u, m, v):
-        return grid_call(mats, matsT, maxamp, psi0, tgt, ew, sf, u, m, v)
-
-    return seg
+    return grid_call
 
 
 # ---------------------------------------------------------------------------
@@ -299,12 +294,20 @@ def make_mega_batched_runner(
     problem: ControlProblem,
     conv,
     extra_channel_mats: Optional[np.ndarray] = None,
+    mesh=None,
 ):
     """(init_state, run_n, read_u) — fixed-count batched Adam segments.
 
     ``init_state(u_bases [S, Kc, T])``; ``run_n(state, n, extra_weights
     [S, E])`` advances every seed n iterations in ONE kernel launch;
     ``read_u(state) -> [S, Kc, T]``.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh over the seed axis), the kernel
+    runs under ``shard_map``: every device executes its local seed shard —
+    zero collectives in the hot loop (seeds are independent; this is the
+    SURVEY section 2.7 pod layer with the fused kernel as the per-device
+    engine).  Multi-host pods work the same way after
+    ``jax.distributed.initialize``.
     """
     p = problem
     if not batched_mega_supported(p):
@@ -339,17 +342,47 @@ def make_mega_batched_runner(
             lr=float(conv.rate), iteration=0, losses=None,
         )
 
+    _seg_cache: dict = {}
+
+    def _sharded_seg(n: int, S: int):
+        """jit(shard_map(kernel)) — or plain jit — for this segment size."""
+        key = (int(n), S)
+        if key in _seg_cache:
+            return _seg_cache[key]
+        D = mesh.size if mesh is not None else 1
+        if S % D != 0:
+            raise ValueError(f"seed count {S} not divisible by mesh size {D}")
+        S_loc = S // D
+        CB = min(_pick_column_block(M, T, Kc), S_loc)
+        if S_loc % CB != 0:
+            raise ValueError(
+                f"per-device seed count {S_loc} must be a multiple of {CB} "
+                f"(pad the seed axis)")
+        call = _build_call(M, N, Kc, E, T, order, int(n), CB, S_loc // CB,
+                           0.9, 0.999, 1e-8, factor)
+        if mesh is None:
+            fn = jax.jit(call)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            rep = P()
+            col2 = P(None, axis)
+            col3 = P(None, None, axis)
+            fn = jax.jit(jax.shard_map(
+                call, mesh=mesh,
+                in_specs=(rep, rep, rep, col2, col2, col2, rep,
+                          col3, col3, col3),
+                out_specs=(col3, col3, col3, col2),
+                check_vma=False,
+            ))
+        _seg_cache[key] = fn
+        return fn
+
     def run_n(state: MegaBatchState, n: int,
               extra_weights: Optional[np.ndarray] = None) -> MegaBatchState:
         S = state.u_cols.shape[2]
-        cb_max = _pick_column_block(M, T, Kc)
-        CB = min(cb_max, S)
-        if S % CB != 0:
-            raise ValueError(
-                f"seed count {S} must be a multiple of {CB} (pad seeds)")
-        G = S // CB
-        seg = _build_call(M, N, Kc, E, T, order, int(n), CB, G,
-                          0.9, 0.999, 1e-8, factor)
+        seg = _sharded_seg(int(n), S)
         psi0 = jnp.asarray(np.tile(psi0_1, (1, S)))
         tgt = jnp.asarray(np.tile(tgt_1, (1, S)))
         if E:

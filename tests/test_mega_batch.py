@@ -151,3 +151,26 @@ def test_extra_sweep_channels():
                           extra_mats=extra, extra_w=deltas[s])
         np.testing.assert_allclose(
             float(np.asarray(st.losses)[s]), want, atol=1e-6)
+
+
+def test_sharded_over_mesh_matches_single_device(eight_devices):
+    """shard_map over an 8-device mesh: identical trajectories to the
+    single-device kernel (seeds are independent; no collectives fire)."""
+    from qoc_tpu.parallel.mesh import make_mesh
+
+    problem = _problem()
+    conv = _conv()
+    S = 16
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
+
+    init_a, run_a, read_a = make_mega_batched_runner(problem, conv)
+    a = run_a(init_a(u0), 6)
+
+    mesh = make_mesh(n_devices=8)
+    init_b, run_b, read_b = make_mega_batched_runner(problem, conv,
+                                                     mesh=mesh)
+    b = run_b(init_b(u0), 6)
+
+    np.testing.assert_allclose(read_b(b), read_a(a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.losses), np.asarray(a.losses),
+                               atol=1e-6)
