@@ -109,7 +109,8 @@ def batched_iters_per_sec_mega(n_seeds=1024, n_iters=100):
 
     problem = _problem()
     conv = _conv()
-    init_state, run_n, _ = make_mega_batched_runner(problem, conv)
+    init_state, run_n, _ = make_mega_batched_runner(
+        problem, conv, throughput=True)
     u0 = _np.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
     st = init_state(u0)
     st = run_n(st, n_iters)

@@ -51,6 +51,46 @@ def init_seeds(
     )
 
 
+def _make_mega_backend(problem, conv, extra_channel_mats, mesh):
+    """(init_state, run_segment) adapter: the fused batched-optimizer
+    kernel behind the BatchState protocol (same fields batched_grape_adam
+    and user code read)."""
+    from .pallas_mega_batch import make_mega_batched_runner
+
+    init_m, run_m, _ = make_mega_batched_runner(
+        problem, conv, extra_channel_mats=extra_channel_mats, mesh=mesh)
+
+    def init_state(u_bases) -> BatchState:
+        u_bases = jnp.asarray(u_bases)
+        S = u_bases.shape[0]
+        inf = jnp.full((S,), jnp.inf, dtype=jnp.float32)
+        return BatchState(
+            u_base=u_bases,
+            opt_state=init_m(np.asarray(u_bases)),
+            iteration=jnp.asarray(0, dtype=jnp.int32),
+            loss=inf, reg_loss=inf, grad_squared=inf,
+            done=jnp.zeros((S,), dtype=bool),
+        )
+
+    def run_segment(state: BatchState, stop_at, mats_b) -> BatchState:
+        n = int(stop_at) - int(state.iteration)
+        if n <= 0:
+            return state
+        ms = run_m(state.opt_state, n, extra_weights=mats_b)
+        losses = jnp.asarray(ms.losses)
+        return BatchState(
+            u_base=jnp.transpose(jnp.asarray(ms.u_cols), (2, 1, 0)),
+            opt_state=ms,
+            iteration=jnp.asarray(ms.iteration, dtype=jnp.int32),
+            loss=losses,
+            reg_loss=losses,  # mega scope is the pure-fidelity objective
+            grad_squared=jnp.asarray(ms.grad_squared),
+            done=jnp.asarray(ms.done_cols)[0] > 0.5,
+        )
+
+    return init_state, run_segment
+
+
 def make_batched_runner(
     problem: ControlProblem,
     conv: ConvergenceSettings,
@@ -69,28 +109,39 @@ def make_batched_runner(
     ``mats [S, K+1, M, M]`` (a Hamiltonian parameter sweep); otherwise all
     seeds share the problem's generators.
 
-    ``backend``: 'pallas' packs all seeds into the fused TPU chain kernel
-    (parallel/pallas_batch.py, ~14x the vmapped path for small dims);
-    'xla' vmaps the generic forward; 'auto' picks pallas when supported on
-    a TPU backend.
+    ``backend``:
+      * 'mega'   — the fused batched-OPTIMIZER kernel
+        (parallel/pallas_mega_batch.py): whole Adam segments per launch
+        with in-kernel per-seed convergence freezing; ~5x 'pallas'.
+      * 'pallas' — fused chain kernel per loss evaluation
+        (parallel/pallas_batch.py), XLA backward + optax update.
+      * 'xla'    — vmapped generic forward.
+      * 'auto'   — mega when supported on an accelerator, else pallas,
+        else xla.
 
-    ``extra_channel_mats`` ([E, 2N, 2N] real iso, pallas backend only):
+    ``extra_channel_mats`` ([E, 2N, 2N] real iso, mega/pallas backends):
     fixed operator channels whose constant per-seed weights ride the
     runner's ``mats_b`` operand as ``extra_weights [S, E]`` — the
-    Hamiltonian-sweep mechanism for the fused kernel.
+    Hamiltonian-sweep mechanism for the fused kernels.
     """
     optimizer = make_adam_optimizer(conv)
 
     if backend == "auto":
         from .pallas_batch import pallas_batch_supported
+        from .pallas_mega_batch import batched_mega_supported
 
-        use_pallas = (
-            jax.default_backend() not in ("cpu",)
-            and gradient_mode == "exact"
-            and not sweep_mats
-            and pallas_batch_supported(problem, reg_coeffs)
-        )
-        backend = "pallas" if use_pallas else "xla"
+        on_accel = jax.default_backend() not in ("cpu",)
+        if (on_accel and gradient_mode == "exact" and not sweep_mats
+                and batched_mega_supported(problem, reg_coeffs)):
+            backend = "mega"
+        elif (on_accel and gradient_mode == "exact" and not sweep_mats
+                and pallas_batch_supported(problem, reg_coeffs)):
+            backend = "pallas"
+        else:
+            backend = "xla"
+
+    if backend == "mega":
+        return _make_mega_backend(problem, conv, extra_channel_mats, mesh)
 
     if backend == "pallas":
         from .pallas_batch import make_pallas_batched_loss
@@ -220,9 +271,14 @@ def batched_grape_adam(
         raise ValueError("pass either mats_batch or extra_channels, not both")
     extra_mats = extra_w = None
     if extra_channels is not None:
+        # extra channels ride the fused kernels only (the xla backend has
+        # no constant-channel operand) — force a fused backend
         extra_mats, extra_w = extra_channels
         if backend == "auto":
-            backend = "pallas"
+            from .pallas_mega_batch import batched_mega_supported
+
+            backend = ("mega" if batched_mega_supported(problem, reg_coeffs)
+                       else "pallas")
     init_state, run_segment = make_batched_runner(
         problem, conv, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
         engine=engine, sweep_mats=sweep, mesh=mesh, backend=backend,

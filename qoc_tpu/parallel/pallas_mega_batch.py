@@ -92,13 +92,18 @@ def _matvec(A, x):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, factor,
+def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
+            factor, conv_target, min_grad, max_iterations,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
-            sf_ref,
-            u_in, m_in, v_in,
-            u_out, m_out, v_out, loss_ref,
+            u_in, m_in, v_in, it_in, done_in,
+            u_out, m_out, v_out, it_out, done_out, stats_ref,
             traj, wbar, w_s):
-    """One grid program = one seed block, n_iters complete iterations.
+    """One grid program = one seed block, n_iters complete iterations,
+    PER-SEED convergence semantics (parallel/batch.py body parity):
+    metrics are evaluated at each seed's current iterate, the predicates
+    ``loss < conv_target | grad^2 < min_grad | it >= max_iterations``
+    freeze that seed (controls, moments, per-seed iteration count and
+    decayed LR all stop), and the rest of the block keeps stepping.
 
     u/m/v layout [T, Kc, CB] (time-major — matches the wbar the backward
     sweep produces, so Adam is pure elementwise).  mats rows: 0 = drift,
@@ -111,12 +116,13 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, factor,
     u_out[:] = u_in[:]
     m_out[:] = m_in[:]
     v_out[:] = v_in[:]
+    it_out[:] = it_in[:]
+    done_out[:] = done_in[:]
 
     maxamp = maxamp_ref[:]                       # [Kc, 1]
     psi0 = psi0_ref[:]                           # [M, CB]
     ta, tb = tgt_ref[:N, :], tgt_ref[N:, :]      # [N, CB]
-    lr0 = sf_ref[0]
-    it0 = sf_ref[1]
+    ln_b1, ln_b2, ln_f = np.log(b1), np.log(b2), np.log(factor)
 
     def apply_A(k_weights, x, mref):
         # A x with A = mats[0] + sum_k wk[k]*mats[1+k] + sum_e ew[e]*mats[..]
@@ -127,7 +133,7 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, factor,
             y = y + ew_ref[e][None, :] * _matvec(mref[1 + Kc + e], x)
         return y
 
-    def iteration(i, lr):
+    def iteration(i, _):
         # physical weights for every timestep, one bulk elementwise pass
         w_s[:] = maxamp[None, :, 0:1] * jnp.sin(u_out[:])
 
@@ -154,7 +160,7 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, factor,
         fa, fb = psiT[:N, :], psiT[N:, :]
         re = jnp.sum(fa * ta + fb * tb, axis=0)          # [CB]
         im = jnp.sum(fb * ta - fa * tb, axis=0)
-        loss_ref[0, :] = 1.0 - (re * re + im * im)
+        loss = 1.0 - (re * re + im * im)                 # [CB]
         gr = (-2.0) * re[None, :]
         gi = (-2.0) * im[None, :]
         gbar = jnp.concatenate(
@@ -193,32 +199,59 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, factor,
 
         lax.fori_loop(0, T // unroll, bstep, gbar)
 
-        # ---------------- Adam (optax semantics) ----------------
+        # -------- per-seed gradient norm + convergence test --------
         u = u_out[:]
         g = wbar[:] * (maxamp[None, :, 0:1] * jnp.cos(u))
+        g2 = 0.5 * jnp.sum(jnp.sum(g * g, axis=0), axis=0)   # [CB]
+        it = it_out[0, :]                                    # [CB]
+        converged = jnp.logical_or(
+            loss < conv_target,
+            jnp.logical_or(g2 < min_grad, it >= max_iterations),
+        )
+        done = jnp.maximum(done_out[0, :],
+                           converged.astype(_F32))           # [CB]
+        do = (1.0 - done)[None, None, :]
+        stats_ref[0, :] = loss
+        stats_ref[1, :] = g2
+
+        # -------- Adam (optax semantics), frozen seeds masked --------
         mm = b1 * m_out[:] + (1.0 - b1) * g
         vv = b2 * v_out[:] + (1.0 - b2) * (g * g)
-        cnt = it0 + (i + 1).astype(_F32)
-        bc1 = 1.0 - jnp.exp(cnt * np.log(b1))
-        bc2 = 1.0 - jnp.exp(cnt * np.log(b2))
-        upd = (mm / bc1) / (jnp.sqrt(vv / bc2) + eps)
-        u_out[:] = u - lr * upd
-        m_out[:] = mm
-        v_out[:] = vv
-        return lr * factor
+        cnt = it + 1.0
+        lr = rate * jnp.exp(ln_f * it)                       # [CB]
+        bc1 = 1.0 - jnp.exp(cnt * ln_b1)
+        bc2 = 1.0 - jnp.exp(cnt * ln_b2)
+        upd = (mm / bc1[None, None, :]) / (
+            jnp.sqrt(vv / bc2[None, None, :]) + eps)
+        u_out[:] = u - do * (lr[None, None, :] * upd)
+        m_out[:] = m_out[:] + do * (mm - m_out[:])
+        v_out[:] = v_out[:] + do * (vv - v_out[:])
+        it_out[0, :] = it + (1.0 - done)
+        done_out[0, :] = done
+        return 0
 
-    lax.fori_loop(0, n_iters, iteration, lr0)
+    lax.fori_loop(0, n_iters, iteration, 0)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_call(M, N, Kc, E, T, order, n_iters, CB, G,
-                b1, b2, eps, factor):
+                b1, b2, eps, rate, factor,
+                conv_target, min_grad, max_iterations):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
         _kernel, M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps,
-        factor)
+        rate, factor, conv_target, min_grad, max_iterations)
     C = G * CB
+
+    def cols3(i):
+        return (0, 0, i)
+
+    def cols2(i):
+        return (0, i)
+
+    big = pl.BlockSpec((T, Kc, CB), cols3, memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, CB), cols2, memory_space=pltpu.VMEM)
     grid_call = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -227,6 +260,8 @@ def _build_call(M, N, Kc, E, T, order, n_iters, CB, G,
             jax.ShapeDtypeStruct((T, Kc, C), _F32),
             jax.ShapeDtypeStruct((T, Kc, C), _F32),
             jax.ShapeDtypeStruct((1, C), _F32),
+            jax.ShapeDtypeStruct((1, C), _F32),
+            jax.ShapeDtypeStruct((2, C), _F32),
         ),
         in_specs=[
             pl.BlockSpec((K, M, M), lambda i: (0, 0, 0),
@@ -235,36 +270,23 @@ def _build_call(M, N, Kc, E, T, order, n_iters, CB, G,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Kc, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, CB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(E, 1), CB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, CB), cols2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, CB), cols2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(E, 1), CB), cols2, memory_space=pltpu.VMEM),
+            big, big, big, row, row,
         ],
         out_specs=(
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, Kc, CB), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            big, big, big, row, row,
+            pl.BlockSpec((2, CB), cols2, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((T + 1, M, CB), _F32),
             pltpu.VMEM((T, Kc, CB), _F32),
             pltpu.VMEM((T, Kc, CB), _F32),
         ],
-        # u/m/v are updated in place across the segment — alias them to the
-        # outputs (halves the streamed VMEM blocks and HBM footprint)
-        input_output_aliases={7: 0, 8: 1, 9: 2},
+        # state tensors are updated in place across the segment — alias
+        # inputs to outputs (halves streamed VMEM blocks + HBM footprint)
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(
             # default scoped-vmem budget is 16 MB; the resident optimizer
             # state (u/m/v + trajectory + wbar at 512 columns) needs ~37 MB
@@ -285,9 +307,11 @@ class MegaBatchState(NamedTuple):
     u_cols: jnp.ndarray   # [T, Kc, C] controls, time-major column layout
     m_cols: jnp.ndarray
     v_cols: jnp.ndarray
-    lr: float
-    iteration: int
-    losses: Optional[jnp.ndarray]  # [S] after the first segment
+    it_cols: jnp.ndarray       # [1, C] per-seed applied-update counts
+    done_cols: jnp.ndarray     # [1, C] per-seed frozen flags (0/1)
+    iteration: int             # global kernel-iterations driven so far
+    losses: Optional[jnp.ndarray]        # [S] after the first segment
+    grad_squared: Optional[jnp.ndarray]  # [S]
 
 
 def make_mega_batched_runner(
@@ -295,12 +319,16 @@ def make_mega_batched_runner(
     conv,
     extra_channel_mats: Optional[np.ndarray] = None,
     mesh=None,
+    throughput: bool = False,
 ):
-    """(init_state, run_n, read_u) — fixed-count batched Adam segments.
+    """(init_state, run_n, read_u) — batched Adam segments with PER-SEED
+    convergence freezing (parallel/batch.py semantics) in one kernel
+    launch per segment.
 
     ``init_state(u_bases [S, Kc, T])``; ``run_n(state, n, extra_weights
-    [S, E])`` advances every seed n iterations in ONE kernel launch;
-    ``read_u(state) -> [S, Kc, T]``.
+    [S, E])`` drives n kernel iterations (frozen seeds stay frozen);
+    ``read_u(state) -> [S, Kc, T]``.  ``throughput=True`` disables the
+    convergence predicates (fixed-count benchmarking).
 
     With ``mesh`` (a 1-D jax.sharding.Mesh over the seed axis), the kernel
     runs under ``shard_map``: every device executes its local seed shard —
@@ -332,14 +360,23 @@ def make_mega_batched_runner(
         np.asarray(p.ops_max_amp, dtype=np.float32).reshape(Kc, 1))
     order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
     factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
+    if throughput:
+        conv_target, min_grad, max_iterations = -1.0, -1.0, float(2 ** 30)
+    else:
+        conv_target = float(conv.conv_target)
+        min_grad = float(conv.min_grad)
+        max_iterations = float(conv.max_iterations)
 
     def init_state(u_bases) -> MegaBatchState:
         u = np.asarray(u_bases, dtype=np.float32)       # [S, Kc, T]
         u_cols = np.transpose(u, (2, 1, 0))             # [T, Kc, S]
+        S = u_cols.shape[2]
         return MegaBatchState(
             u_cols=u_cols, m_cols=np.zeros_like(u_cols),
             v_cols=np.zeros_like(u_cols),
-            lr=float(conv.rate), iteration=0, losses=None,
+            it_cols=np.zeros((1, S), dtype=np.float32),
+            done_cols=np.zeros((1, S), dtype=np.float32),
+            iteration=0, losses=None, grad_squared=None,
         )
 
     _seg_cache: dict = {}
@@ -359,7 +396,8 @@ def make_mega_batched_runner(
                 f"per-device seed count {S_loc} must be a multiple of {CB} "
                 f"(pad the seed axis)")
         call = _build_call(M, N, Kc, E, T, order, int(n), CB, S_loc // CB,
-                           0.9, 0.999, 1e-8, factor)
+                           0.9, 0.999, 1e-8, float(conv.rate), factor,
+                           conv_target, min_grad, max_iterations)
         if mesh is None:
             fn = jax.jit(call)
         else:
@@ -371,9 +409,9 @@ def make_mega_batched_runner(
             col3 = P(None, None, axis)
             fn = jax.jit(jax.shard_map(
                 call, mesh=mesh,
-                in_specs=(rep, rep, rep, col2, col2, col2, rep,
-                          col3, col3, col3),
-                out_specs=(col3, col3, col3, col2),
+                in_specs=(rep, rep, rep, col2, col2, col2,
+                          col3, col3, col3, col2, col2),
+                out_specs=(col3, col3, col3, col2, col2, col2),
                 check_vma=False,
             ))
         _seg_cache[key] = fn
@@ -390,18 +428,16 @@ def make_mega_batched_runner(
                 np.asarray(extra_weights, dtype=np.float32).T)  # [E, S]
         else:
             ew = jnp.zeros((1, S), dtype=_F32)
-        sf = jnp.asarray(
-            np.array([state.lr, state.iteration], dtype=np.float32))
-        u, m, v, losses = seg(
-            mats, matsT, maxamp, psi0, tgt, ew, sf,
+        u, m, v, it, done, stats = seg(
+            mats, matsT, maxamp, psi0, tgt, ew,
             jnp.asarray(state.u_cols), jnp.asarray(state.m_cols),
-            jnp.asarray(state.v_cols),
+            jnp.asarray(state.v_cols), jnp.asarray(state.it_cols),
+            jnp.asarray(state.done_cols),
         )
         return MegaBatchState(
-            u_cols=u, m_cols=m, v_cols=v,
-            lr=state.lr * factor ** int(n),
+            u_cols=u, m_cols=m, v_cols=v, it_cols=it, done_cols=done,
             iteration=state.iteration + int(n),
-            losses=losses[0],
+            losses=stats[0], grad_squared=stats[1],
         )
 
     def read_u(state: MegaBatchState) -> np.ndarray:

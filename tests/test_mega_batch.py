@@ -131,7 +131,8 @@ def test_segments_compose():
         b = run_n(b, 4)
     np.testing.assert_allclose(read_u(a), read_u(b), atol=1e-6)
     assert b.iteration == 12
-    np.testing.assert_allclose(a.lr, b.lr, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.it_cols),
+                                  np.asarray(b.it_cols))
 
 
 def test_extra_sweep_channels():
@@ -151,6 +152,40 @@ def test_extra_sweep_channels():
                           extra_mats=extra, extra_w=deltas[s])
         np.testing.assert_allclose(
             float(np.asarray(st.losses)[s]), want, atol=1e-6)
+
+
+def test_per_seed_convergence_freezes():
+    """Seeds that hit conv_target freeze (controls, moments, per-seed
+    iteration count) while the rest keep stepping — the batch.py early-stop
+    semantics inside the kernel."""
+    problem = _problem()
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.05, "update_step": 10, "max_iterations": 1000,
+         "conv_target": 0.5})
+    S = 8
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(5)))
+    init_state, run_n, read_u = make_mega_batched_runner(problem, conv)
+    st = run_n(init_state(u0), 120)
+    done = np.asarray(st.done_cols)[0]
+    its = np.asarray(st.it_cols)[0]
+    losses = np.asarray(st.losses)
+    assert done.any(), "expected at least one seed to converge"
+    # frozen seeds stopped early; their reported loss satisfies the target
+    assert (its[done > 0.5] < 120).all()
+    assert (losses[done > 0.5] < 0.5).all()
+    # live seeds advanced the full segment
+    if (done < 0.5).any():
+        assert (its[done < 0.5] == 120).all()
+
+    # max_iterations predicate freezes everyone
+    conv2 = ConvergenceSettings.from_dict(
+        {"rate": 0.05, "update_step": 10, "max_iterations": 7,
+         "conv_target": 1e-12})
+    init2, run2, _ = make_mega_batched_runner(problem, conv2)
+    st2 = run2(init2(u0), 30)
+    np.testing.assert_array_equal(np.asarray(st2.it_cols)[0],
+                                  np.full(S, 7.0, np.float32))
+    assert (np.asarray(st2.done_cols)[0] > 0.5).all()
 
 
 def test_sharded_over_mesh_matches_single_device(eight_devices):
