@@ -197,6 +197,56 @@ def dim64_iters_per_sec(device, n_iters=30):
     return n_iters / (time.perf_counter() - t0)
 
 
+def dim200_sweep_iters_per_sec(n_seeds=64, n_iters=10):
+    """BASELINE config 5 scale: qubit x 100-level cavity (Hilbert dim 200),
+    200 steps, seed batch through the column-batched XLA chain
+    (parallel/xla_batch.py) — the large-dim MXU regime."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.parallel.xla_batch import make_xla_batched_loss
+
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(2 * Nc, complex)
+    psi0[0] = 1
+    tgt = np.zeros(2 * Nc, complex)
+    tgt[Nc] = 1
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0,
+    )
+    conv = _conv()
+    batched_loss = make_xla_batched_loss(problem)
+    opt = make_adam_optimizer(conv)
+    grad_all = jax.grad(lambda u: jnp.sum(batched_loss(u)[0]))
+
+    @jax.jit
+    def run_n(u, os_, n):
+        def body(_, c):
+            u, os_ = c
+            g = grad_all(u)
+            upd, os_ = jax.vmap(opt.update)(g, os_, u)
+            return (jax.vmap(optax.apply_updates)(u, upd), os_)
+
+        return jax.lax.fori_loop(0, n, body, (u, os_))
+
+    u = (jax.random.normal(jax.random.PRNGKey(0),
+                           (n_seeds, 3, 200), dtype=jnp.float32)
+         / np.sqrt(200))
+    os0 = jax.vmap(opt.init)(u)
+    _sync(run_n(u, os0, 2)[0])
+    t0 = time.perf_counter()
+    _sync(run_n(u, os0, n_iters)[0])
+    return n_seeds * n_iters / (time.perf_counter() - t0)
+
+
 def wall_clock_to_fidelity(device, engine, target=1e-4):
     """Wall-clock (excluding compile) to reach loss < target with the real
     convergence-checking segment loop (engine='mega' = the fused-kernel
@@ -265,6 +315,7 @@ def main():
             else batched_iters_per_sec(primary))
 
     d64 = dim64_iters_per_sec(primary)
+    d200 = dim200_sweep_iters_per_sec() if is_tpu else 0.0
     if is_tpu:
         cpu = jax.devices("cpu")[0]
         cpu_ips = iters_per_sec(cpu, "scan", n_iters=3000)
@@ -287,6 +338,7 @@ def main():
         "batched_1024seed_iters_per_sec": round(bips, 2),
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),
+        "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),
         "final_loss": loss,
         "iterations_to_target": iters,

@@ -24,11 +24,16 @@ if _os.environ.get("QOC_TPU_NO_COMPILE_CACHE", "") != "1":
     try:
         import jax as _jax
 
+        import platform as _platform
+
+        # per-hostname subdir: XLA:CPU AOT artifacts bake in machine
+        # features and can SIGILL if loaded on a different host
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get(
                 "QOC_TPU_COMPILE_CACHE",
-                _os.path.expanduser("~/.cache/qoc_tpu_jax"),
+                _os.path.expanduser(
+                    "~/.cache/qoc_tpu_jax/" + _platform.node()),
             ),
         )
         # Cache even sub-second programs: through the tunneled runtime every

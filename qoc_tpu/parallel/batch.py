@@ -130,6 +130,8 @@ def make_batched_runner(
         from .pallas_batch import pallas_batch_supported
         from .pallas_mega_batch import batched_mega_supported
 
+        from .xla_batch import xla_cols_supported
+
         on_accel = jax.default_backend() not in ("cpu",)
         if (on_accel and gradient_mode == "exact" and not sweep_mats
                 and batched_mega_supported(problem, reg_coeffs)):
@@ -137,18 +139,30 @@ def make_batched_runner(
         elif (on_accel and gradient_mode == "exact" and not sweep_mats
                 and pallas_batch_supported(problem, reg_coeffs)):
             backend = "pallas"
+        elif (on_accel and gradient_mode == "exact" and not sweep_mats
+                and xla_cols_supported(problem, reg_coeffs)):
+            # large dims: column-batched XLA chain (shared-generator MXU
+            # matmuls; ~4.6x the vmapped path at dim 200)
+            backend = "xla-cols"
         else:
             backend = "xla"
 
     if backend == "mega":
         return _make_mega_backend(problem, conv, extra_channel_mats, mesh)
 
-    if backend == "pallas":
-        from .pallas_batch import make_pallas_batched_loss
+    if backend in ("pallas", "xla-cols"):
+        if backend == "pallas":
+            from .pallas_batch import make_pallas_batched_loss
 
-        batched_loss = make_pallas_batched_loss(
-            problem, reg_coeffs, extra_channel_mats=extra_channel_mats
-        )
+            batched_loss = make_pallas_batched_loss(
+                problem, reg_coeffs, extra_channel_mats=extra_channel_mats
+            )
+        else:
+            from .xla_batch import make_xla_batched_loss
+
+            batched_loss = make_xla_batched_loss(
+                problem, reg_coeffs, extra_channel_mats=extra_channel_mats
+            )
 
         def _total(u_bases, extra_w):
             reg_losses, fid_losses = batched_loss(u_bases, extra_w)
@@ -188,7 +202,7 @@ def make_batched_runner(
         )
         return u, opt
 
-    if backend != "pallas":
+    if backend not in ("pallas", "xla-cols"):
         batch_metrics = jax.vmap(
             seed_metrics, in_axes=(0, 0 if sweep_mats else None)
         )

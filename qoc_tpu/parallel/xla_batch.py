@@ -1,0 +1,123 @@
+"""Column-batched XLA loss for LARGE Hilbert dimensions.
+
+The generic batched path (vmap of the per-seed forward) materializes a
+per-seed step generator ``A_t [S, M, M]`` at every timestep — at dim 200
+that is 41 MB of HBM traffic per Taylor application, and the whole
+iteration is bandwidth-bound.  This module batches seeds on the COLUMN
+axis instead (the pallas_chain layout, in pure XLA): the state block is
+``[M, S]``, each Taylor term applies the K shared generators as plain
+``[M, M] @ [M, S]`` MXU matmuls and mixes them with per-seed weights —
+no per-seed matrices ever exist.  Measured at dim 200 (qubit x 100-level
+cavity, 200 steps, 64 seeds, TPU v5lite): 4.6x the vmapped path.
+
+Same scope and interface as parallel/pallas_batch.py (V = 1, state
+transfer or no-scaling unitary, pulse-only penalties, constant-weight
+extra sweep channels); used by make_batched_runner as the large-dim
+backend where the fused kernels don't fit in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.costs import CostContext, total_reg_cost
+from ..models.forward import INTER_VEC_COSTS
+from ..models.system import ControlProblem
+
+HI = lax.Precision.HIGHEST
+
+
+def xla_cols_supported(problem: ControlProblem,
+                       reg_coeffs: Optional[dict]) -> bool:
+    if not problem.state_transfer and problem.taylor_scaling != 0:
+        return False
+    if problem.initial_vectors.shape[1] != 1:
+        return False
+    return not any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS)
+
+
+def make_xla_batched_loss(
+    problem: ControlProblem,
+    reg_coeffs: Optional[dict] = None,
+    extra_channel_mats: Optional[np.ndarray] = None,
+    remat: bool = True,
+):
+    """Build ``u_bases [S, K, T] -> (reg_losses [S], fid_losses [S])``.
+
+    ``extra_channel_mats`` ([E, 2N, 2N] real iso) adds fixed operator
+    channels with constant per-seed weights ``extra_weights [S, E]``.
+    ``remat`` checkpoints each scan step (recompute-in-backward — the
+    trajectory at [T, M, S] would otherwise dominate HBM for large M).
+    """
+    p = problem
+    mats_list = [jnp.asarray(p.mats)]
+    if extra_channel_mats is not None:
+        mats_list.append(jnp.asarray(extra_channel_mats, dtype=jnp.float32))
+    mats = jnp.concatenate(mats_list, axis=0)          # [K', M, M]
+    Kp = mats.shape[0]
+    psi0 = jnp.asarray(p.initial_vectors)              # [M, 1]
+    if not p.state_transfer:
+        psi0 = jnp.matmul(jnp.asarray(p.U0_iso), psi0, precision=HI)
+    tgt = jnp.asarray(p.target_vectors)                # [M, 1]
+    max_amp = jnp.asarray(p.ops_max_amp)
+    one_minus_gauss = jnp.asarray(p.one_minus_gauss)
+    N = p.state_num
+    T = p.steps
+    # matvec truncation (powers 0..order-1) for state transfer; unitary
+    # no-scaling keeps powers 0..taylor_terms (pallas_batch convention)
+    order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
+
+    def batched_loss(u_bases: jnp.ndarray,
+                     extra_weights: Optional[jnp.ndarray] = None):
+        S = u_bases.shape[0]
+        ops_weight = jnp.sin(u_bases)                          # [S, Kc, T]
+        amps = max_amp[None, :, None] * ops_weight
+        chans = [jnp.ones((S, 1, T), dtype=amps.dtype), amps]
+        if extra_weights is not None:
+            chans.append(jnp.broadcast_to(
+                extra_weights[:, :, None].astype(amps.dtype),
+                (S, extra_weights.shape[1], T)))
+        w = jnp.concatenate(chans, axis=1)                     # [S, K', T]
+        w_t = jnp.transpose(w, (2, 1, 0))                      # [T, K', S]
+
+        def step(psi, wt):                                     # psi [M, S]
+            acc = psi
+            pn = psi
+            for n in range(1, order):
+                y = None
+                for k in range(Kp):
+                    term = jnp.matmul(mats[k], pn, precision=HI) \
+                        * wt[k][None, :]
+                    y = term if y is None else y + term
+                pn = y * (1.0 / n)
+                acc = acc + pn
+            return acc, None
+
+        body = jax.checkpoint(step) if remat else step
+        final, _ = lax.scan(body, jnp.tile(psi0, (1, S)), w_t)
+
+        a, b = final[:N, :], final[N:, :]
+        c, d = tgt[:N, 0:1], tgt[N:, 0:1]
+        re = jnp.sum(a * c + b * d, axis=0)
+        im = jnp.sum(b * c - a * d, axis=0)
+        fid_losses = 1.0 - (re * re + im * im)
+
+        reg_losses = fid_losses
+        if reg_coeffs:
+            def seed_reg(w_s):
+                ctx = CostContext(
+                    ops_weight=w_s, inter_vecs=None, target_vecs=tgt,
+                    state_num=N, steps=T, dt=p.dt, total_time=p.total_time,
+                    one_minus_gauss=one_minus_gauss, v_sorted_iso=None,
+                )
+                return total_reg_cost(ctx, reg_coeffs)
+
+            reg_losses = fid_losses + jax.vmap(seed_reg)(ops_weight)
+        return reg_losses, fid_losses
+
+    return batched_loss
