@@ -48,7 +48,11 @@ def _interpret() -> bool:
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # precision=HIGHEST is load-bearing: preferred_element_type only sets
+    # the ACCUMULATOR type; without it the MXU rounds inputs to bf16 and
+    # the propagated states drift ~1e-4 per chain (measured vs float64)
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------

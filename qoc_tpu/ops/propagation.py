@@ -49,6 +49,13 @@ def step_propagators(mats, weights, order: int, scaling: int):
     """All per-timestep propagators ``P_t = exp(sum_k w[k,t] mats[k])``.
 
     mats: [K, M, M]; weights: [K, T]  ->  [T, M, M]
+
+    NOTE on the fused alternative: ops/pallas_expm.py holds a bit-exact
+    Pallas version with VMEM-resident Taylor powers.  Measured at M=128,
+    T=200, order 8 + 2 squarings on TPU v5lite it is NEUTRAL (2.8 vs
+    2.4 ms/iter fwd+bwd): XLA already batches these MXU matmuls well and
+    the evaluation is compute-bound at HIGHEST precision, not HBM-bound.
+    It stays available as an opt-in building block, not the default.
     """
     A = weighted_hamiltonians(mats, weights)
     return taylor_expm(A, order, scaling)
@@ -252,8 +259,7 @@ def state_transfer_chain(
     if engine == "associative" and gradient_mode == "exact":
         # Taylor series with the matvec truncation (powers 0..order-1),
         # applied to matrices: matches the serial chain exactly.
-        A = weighted_hamiltonians(mats, weights)
-        P = taylor_expm(A, order - 1, 0)
+        P = step_propagators(mats, weights, order - 1, 0)
         if final_only:
             final = _bmm(chain_product_tree(P), psi0)
             return final[None]

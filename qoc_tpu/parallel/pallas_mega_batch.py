@@ -79,7 +79,8 @@ def _matvec(A, x):
     latency of tiny matmuls dominates); larger M uses the MXU."""
     M = A.shape[0]
     if M > 16:
-        return jnp.dot(A, x, preferred_element_type=_F32)
+        return jnp.dot(A, x, precision=lax.Precision.HIGHEST,
+                       preferred_element_type=_F32)
     out = None
     for m_ in range(M):
         term = A[:, m_][:, None] * x[m_][None, :]
