@@ -78,14 +78,17 @@ def _make_mega_backend(problem, conv, extra_channel_mats, mesh):
             return state
         ms = run_m(state.opt_state, n, extra_weights=mats_b)
         losses = jnp.asarray(ms.losses)
+        S = state.u_base.shape[0]
+        V = ms.u_cols.shape[2] // S  # V replicated columns per seed group
         return BatchState(
-            u_base=jnp.transpose(jnp.asarray(ms.u_cols), (2, 1, 0)),
+            u_base=jnp.transpose(
+                jnp.asarray(ms.u_cols)[:, :, ::V], (2, 1, 0)),
             opt_state=ms,
             iteration=jnp.asarray(ms.iteration, dtype=jnp.int32),
             loss=losses,
             reg_loss=losses,  # mega scope is the pure-fidelity objective
             grad_squared=jnp.asarray(ms.grad_squared),
-            done=jnp.asarray(ms.done_cols)[0] > 0.5,
+            done=jnp.asarray(ms.done_cols)[0, ::V] > 0.5,
         )
 
     return init_state, run_segment

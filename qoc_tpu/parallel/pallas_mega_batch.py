@@ -23,8 +23,9 @@ Hamiltonian sweeps ride the same kernel: extra operator channels with
 constant per-seed weights (parallel/pallas_batch.py convention).
 
 Scope (mirrors make_pallas_batched_loss): pure-fidelity objective,
-V = 1 concerned vector per seed, state-transfer problems or unitary
-problems with taylor_scaling == 0.
+up to 8 concerned vectors per seed (V columns per seed group, coherent
+inner_product_2D fidelity via in-kernel lane group-sums), state-transfer
+problems or unitary problems with taylor_scaling == 0.
 """
 
 from __future__ import annotations
@@ -67,10 +68,30 @@ def batched_mega_supported(problem: ControlProblem,
         return False
     if not problem.state_transfer and problem.taylor_scaling != 0:
         return False
-    if problem.initial_vectors.shape[1] != 1:
+    if problem.initial_vectors.shape[1] > 8:
         return False
     return _pick_column_block(
         2 * problem.state_num, problem.steps, problem.ops_len) > 0
+
+
+def _roll(x, shift):
+    if _interpret():
+        return jnp.roll(x, shift, axis=-1)
+    return pltpu.roll(x, shift=shift % x.shape[-1], axis=x.ndim - 1)
+
+
+def _group_sum(x, V):
+    """Sum lanes within aligned groups of V columns (V | CB, groups never
+    straddle blocks): every column receives its group's total.  Circular
+    rolls are safe — the lane%V masks kill cross-group contributions."""
+    if V == 1:
+        return x
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % V
+    out = x
+    for j in range(1, V):
+        out = out + jnp.where(lane < V - j, _roll(x, -j), 0.0)
+        out = out + jnp.where(lane >= j, _roll(x, j), 0.0)
+    return out
 
 
 def _matvec(A, x):
@@ -93,7 +114,7 @@ def _matvec(A, x):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
+def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
             factor, conv_target, min_grad, max_iterations,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
             u_in, m_in, v_in, it_in, done_in,
@@ -157,13 +178,15 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
 
         psiT = lax.fori_loop(0, T // unroll, fstep, psi0)
 
-        # ---------------- fidelity per column (V = 1) ----------------
+        # -------- coherent fidelity per seed group (V columns) --------
+        # get_inner_product_2D semantics: the per-column overlaps sum
+        # coherently within a seed's V columns, |.|^2 / V^2.
         fa, fb = psiT[:N, :], psiT[N:, :]
-        re = jnp.sum(fa * ta + fb * tb, axis=0)          # [CB]
-        im = jnp.sum(fb * ta - fa * tb, axis=0)
-        loss = 1.0 - (re * re + im * im)                 # [CB]
-        gr = (-2.0) * re[None, :]
-        gi = (-2.0) * im[None, :]
+        re = _group_sum(jnp.sum(fa * ta + fb * tb, axis=0), V)   # [CB]
+        im = _group_sum(jnp.sum(fb * ta - fa * tb, axis=0), V)
+        loss = 1.0 - (re * re + im * im) * (1.0 / (V * V))       # [CB]
+        gr = (-2.0 / (V * V)) * re[None, :]
+        gi = (-2.0 / (V * V)) * im[None, :]
         gbar = jnp.concatenate(
             [gr * ta - gi * tb, gr * tb + gi * ta], axis=0)  # [M, CB]
 
@@ -201,9 +224,12 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
         lax.fori_loop(0, T // unroll, bstep, gbar)
 
         # -------- per-seed gradient norm + convergence test --------
+        # columns within a seed group carry replicated controls; the
+        # seed's gradient is the group total, broadcast back to each.
         u = u_out[:]
-        g = wbar[:] * (maxamp[None, :, 0:1] * jnp.cos(u))
+        g = _group_sum(wbar[:], V) * (maxamp[None, :, 0:1] * jnp.cos(u))
         g2 = 0.5 * jnp.sum(jnp.sum(g * g, axis=0), axis=0)   # [CB]
+        g2 = g2 * (1.0 / V)  # replicas each counted the full seed norm
         it = it_out[0, :]                                    # [CB]
         converged = jnp.logical_or(
             loss < conv_target,
@@ -235,13 +261,13 @@ def _kernel(M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(M, N, Kc, E, T, order, n_iters, CB, G,
+def _build_call(M, N, V, Kc, E, T, order, n_iters, CB, G,
                 b1, b2, eps, rate, factor,
                 conv_target, min_grad, max_iterations):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
-        _kernel, M, N, Kc, E, T, order, n_iters, unroll, b1, b2, eps,
+        _kernel, M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps,
         rate, factor, conv_target, min_grad, max_iterations)
     C = G * CB
 
@@ -353,10 +379,11 @@ def make_mega_batched_runner(
     mats = jnp.asarray(np.concatenate(mats_list, axis=0))
     matsT = jnp.asarray(np.swapaxes(np.concatenate(mats_list, axis=0),
                                     -1, -2))
-    psi0_1 = np.asarray(p.initial_vectors, dtype=np.float32)  # [M, 1]
+    psi0_1 = np.asarray(p.initial_vectors, dtype=np.float32)  # [M, V]
     if not p.state_transfer:
         psi0_1 = np.asarray(p.U0_iso, dtype=np.float32) @ psi0_1
     tgt_1 = np.asarray(p.target_vectors, dtype=np.float32)
+    V = psi0_1.shape[1]
     maxamp = jnp.asarray(
         np.asarray(p.ops_max_amp, dtype=np.float32).reshape(Kc, 1))
     order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
@@ -371,32 +398,39 @@ def make_mega_batched_runner(
     def init_state(u_bases) -> MegaBatchState:
         u = np.asarray(u_bases, dtype=np.float32)       # [S, Kc, T]
         u_cols = np.transpose(u, (2, 1, 0))             # [T, Kc, S]
-        S = u_cols.shape[2]
+        # V columns per seed, seed-major (c = seed*V + v); controls are
+        # replicated within each group and evolve identically
+        u_cols = np.repeat(u_cols, V, axis=2)           # [T, Kc, S*V]
+        C = u_cols.shape[2]
         return MegaBatchState(
             u_cols=u_cols, m_cols=np.zeros_like(u_cols),
             v_cols=np.zeros_like(u_cols),
-            it_cols=np.zeros((1, S), dtype=np.float32),
-            done_cols=np.zeros((1, S), dtype=np.float32),
+            it_cols=np.zeros((1, C), dtype=np.float32),
+            done_cols=np.zeros((1, C), dtype=np.float32),
             iteration=0, losses=None, grad_squared=None,
         )
 
     _seg_cache: dict = {}
 
-    def _sharded_seg(n: int, S: int):
-        """jit(shard_map(kernel)) — or plain jit — for this segment size."""
-        key = (int(n), S)
+    def _sharded_seg(n: int, C: int):
+        """jit(shard_map(kernel)) — or plain jit — for this segment size.
+        ``C`` is the total COLUMN count (seeds x V)."""
+        key = (int(n), C)
         if key in _seg_cache:
             return _seg_cache[key]
         D = mesh.size if mesh is not None else 1
-        if S % D != 0:
-            raise ValueError(f"seed count {S} not divisible by mesh size {D}")
-        S_loc = S // D
-        CB = min(_pick_column_block(M, T, Kc), S_loc)
-        if S_loc % CB != 0:
+        if C % (D * V) != 0:
             raise ValueError(
-                f"per-device seed count {S_loc} must be a multiple of {CB} "
-                f"(pad the seed axis)")
-        call = _build_call(M, N, Kc, E, T, order, int(n), CB, S_loc // CB,
+                f"column count {C} not divisible by mesh size {D} x V={V}")
+        C_loc = C // D
+        CB = min(_pick_column_block(M, T, Kc), C_loc)
+        CB -= CB % V   # seed groups must not straddle block boundaries
+        if C_loc % CB != 0:
+            raise ValueError(
+                f"per-device column count {C_loc} must be a multiple of "
+                f"{CB} (pad the seed axis)")
+        call = _build_call(M, N, V, Kc, E, T, order, int(n), CB,
+                           C_loc // CB,
                            0.9, 0.999, 1e-8, float(conv.rate), factor,
                            conv_target, min_grad, max_iterations)
         if mesh is None:
@@ -420,15 +454,16 @@ def make_mega_batched_runner(
 
     def run_n(state: MegaBatchState, n: int,
               extra_weights: Optional[np.ndarray] = None) -> MegaBatchState:
-        S = state.u_cols.shape[2]
-        seg = _sharded_seg(int(n), S)
-        psi0 = jnp.asarray(np.tile(psi0_1, (1, S)))
+        C = state.u_cols.shape[2]
+        S = C // V
+        seg = _sharded_seg(int(n), C)
+        psi0 = jnp.asarray(np.tile(psi0_1, (1, S)))   # [M, S*V] seed-major
         tgt = jnp.asarray(np.tile(tgt_1, (1, S)))
         if E:
-            ew = jnp.asarray(
-                np.asarray(extra_weights, dtype=np.float32).T)  # [E, S]
+            ew = jnp.asarray(np.repeat(
+                np.asarray(extra_weights, dtype=np.float32).T, V, axis=1))
         else:
-            ew = jnp.zeros((1, S), dtype=_F32)
+            ew = jnp.zeros((1, C), dtype=_F32)
         u, m, v, it, done, stats = seg(
             mats, matsT, maxamp, psi0, tgt, ew,
             jnp.asarray(state.u_cols), jnp.asarray(state.m_cols),
@@ -438,10 +473,10 @@ def make_mega_batched_runner(
         return MegaBatchState(
             u_cols=u, m_cols=m, v_cols=v, it_cols=it, done_cols=done,
             iteration=state.iteration + int(n),
-            losses=stats[0], grad_squared=stats[1],
+            losses=stats[0, ::V], grad_squared=stats[1, ::V],
         )
 
     def read_u(state: MegaBatchState) -> np.ndarray:
-        return np.transpose(np.asarray(state.u_cols), (2, 1, 0))
+        return np.transpose(np.asarray(state.u_cols)[:, :, ::V], (2, 1, 0))
 
     return init_state, run_n, read_u
