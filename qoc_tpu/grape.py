@@ -256,7 +256,7 @@ def Grape(
         optimizer = make_adam_optimizer(conv)
         if use_mega:
             init_mega, run_mega, unpad = make_mega_segment_runner(
-                problem, conv)
+                problem, conv, reg_coeffs=reg_coeffs)
             state = init_mega(problem.u0_base)
         else:
             run_segment, _ = make_segment_runner(loss_fn, conv, optimizer)

@@ -60,8 +60,9 @@ def _mega_kernel(
     # static
     M, N, T, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+    a_amp, a_env, a_dwdt, a_d2, inv_dt,
     # refs: inputs
-    mats_ref, psi0_ref, target_ref, maxamp_ref, u0rows_ref,
+    mats_ref, psi0_ref, target_ref, maxamp_ref, u0rows_ref, env_ref,
     u_ref, m_ref, v_ref, sf_ref, si_ref,
     # refs: outputs
     u_out, m_out, v_out, met_out,
@@ -81,11 +82,17 @@ def _mega_kernel(
     lane3 = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
     ta, tb = target[:N, :], target[N:, :]
 
+    def _roll(x, shift):
+        if _interpret():
+            return jnp.roll(x, shift, axis=-1)
+        return pltpu.roll(x, shift=shift % x.shape[-1], axis=x.ndim - 1)
+
     def iteration(i, carry):
         u, am, av, lr, itc, done = carry
 
         # ---- forward: weights -> chain product E (lane 0) ----
-        amps = maxamp * jnp.sin(u) * live
+        sw = jnp.sin(u) * live                # normalized weights sin(base)
+        amps = maxamp * sw
         w = jnp.concatenate([ones_row, amps], axis=0)     # [Kc+1, Tp]
         X, an, sq, tree = tree_forward_vals(M, order, scaling, mats, w)
         E = X[:, :, 0:1]                                  # [M, M, 1]
@@ -125,8 +132,34 @@ def _mega_kernel(
         wrows = tree_backward_vals(M, order, scaling, mats, an, sq, tree,
                                    Ebar)
         wbar = jnp.stack(wrows[1:])                        # drop drift row
-        g = wbar * maxamp * jnp.cos(u) * live
+
+        # ---- pulse-shape penalties on sin(base) (models/costs.py) ----
+        # Circular rolls implement the reference's 2-zero padding exactly
+        # because the lanes beyond T hold zeros (Tp >= T+2 when the
+        # difference costs are active).
+        reg = jnp.float32(0.0)
+        gw = jnp.zeros_like(sw)
+        if a_amp:
+            reg = reg + a_amp * 0.5 * jnp.sum(sw * sw)
+            gw = gw + a_amp * sw
+        if a_env:
+            ew = env_ref[:] * sw
+            reg = reg + a_env * 0.5 * jnp.sum(ew * ew)
+            gw = gw + a_env * env_ref[:] * env_ref[:] * sw
+        if a_dwdt:
+            d = (sw - _roll(sw, 1)) * inv_dt
+            reg = reg + a_dwdt * 0.5 * jnp.sum(d * d)
+            gw = gw + (a_dwdt * inv_dt * inv_dt) * (
+                2.0 * sw - _roll(sw, 1) - _roll(sw, -1)) * live
+        if a_d2:
+            s2 = (sw - 2.0 * _roll(sw, 1) + _roll(sw, 2)) * (inv_dt * inv_dt)
+            reg = reg + a_d2 * 0.5 * jnp.sum(s2 * s2)
+            gw = gw + (a_d2 * inv_dt * inv_dt) * (
+                s2 - 2.0 * _roll(s2, -1) + _roll(s2, -2)) * live
+
+        g = (wbar * maxamp + gw) * jnp.cos(u) * live
         g2 = 0.5 * jnp.sum(g * g)                          # tf.nn.l2_loss
+        reg_loss = loss + reg
 
         # ---- convergence test at the current iterate ----
         converged = jnp.logical_or(
@@ -151,7 +184,7 @@ def _mega_kernel(
         lr = lr * jnp.where(done_new, 1.0, rate_factor)
         itc = itc + do
         return (u, am, av, lr, itc, done_new.astype(jnp.float32),
-                loss, g2, uscale)
+                loss, g2, uscale, reg_loss)
 
     lr0 = sf_ref[0]
     it0 = sf_ref[1]
@@ -165,9 +198,9 @@ def _mega_kernel(
 
     out = lax.fori_loop(
         0, n_iters, body,
-        carry + (zero + jnp.inf, zero + jnp.inf, zero),
+        carry + (zero + jnp.inf, zero + jnp.inf, zero, zero + jnp.inf),
     )
-    u, am, av, lr, itc, done, loss, g2, uscale = out
+    u, am, av, lr, itc, done, loss, g2, uscale, reg_loss = out
     u_out[:] = u
     m_out[:] = am
     v_out[:] = av
@@ -177,17 +210,19 @@ def _mega_kernel(
     met_out[3] = lr
     met_out[4] = itc
     met_out[5] = done
+    met_out[6] = reg_loss
 
 
 @functools.lru_cache(maxsize=64)
 def _build_mega_call(
     M, N, T, Kc, V, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+    a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp,
 ):
-    Tp = _next_pow2(max(T, 2))
     kernel = functools.partial(
         _mega_kernel, M, N, T, order, scaling, n_iters, unitary_mode,
         b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
+        a_amp, a_env, a_dwdt, a_d2, inv_dt,
     )
     call = pl.pallas_call(
         kernel,
@@ -198,7 +233,7 @@ def _build_mega_call(
             jax.ShapeDtypeStruct((8,), jnp.float32),
         ),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
             + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         ),
         out_specs=(
@@ -215,7 +250,8 @@ def _build_mega_call(
     # ~0.4s per *distinct* program instantiated in a process — eager scalar
     # ops around the kernel would triple the program count).
     @jax.jit
-    def seg(mats, psi0p, target, maxamp, u0rows, u, m, v, lr, it, done):
+    def seg(mats, psi0p, target, maxamp, u0rows, env, u, m, v, lr, it,
+            done):
         sf = jnp.stack([
             lr.astype(jnp.float32),
             it.astype(jnp.float32),
@@ -223,9 +259,9 @@ def _build_mega_call(
         ])
         si = jnp.zeros((1,), dtype=jnp.int32)
         u2, m2, v2, met = call(
-            mats, psi0p, target, maxamp, u0rows, u, m, v, sf, si)
+            mats, psi0p, target, maxamp, u0rows, env, u, m, v, sf, si)
         return (u2, m2, v2, met[3], met[4].astype(jnp.int32),
-                met[0], met[1], met[2], met[5] > 0.5)
+                met[0], met[1], met[2], met[5] > 0.5, met[6])
 
     return seg
 
@@ -251,30 +287,51 @@ class MegaAdamState(NamedTuple):
     done: jnp.ndarray          # bool
 
 
+_MEGA_COSTS = ("amplitude", "envelope", "dwdt", "d2wdt2")
+
+
 def mega_supported(problem, reg_coeffs=None, gradient_mode="exact") -> bool:
-    """The fused-optimizer path covers the pure-fidelity objective on
-    problems small enough for the VMEM-resident tree (M_real <= 12)."""
+    """The fused-optimizer path covers the fidelity objective plus the
+    pulse-shape penalties (amplitude/envelope/dwdt/d2wdt2 — computed
+    in-kernel) on problems small enough for the VMEM-resident tree
+    (M_real <= 12).  State-dependent or spectral costs fall back to the
+    XLA segment runner."""
+    extra = set(reg_coeffs or {}) - set(_MEGA_COSTS)
     return (
-        not reg_coeffs
+        not extra
         and gradient_mode == "exact"
         and problem.initial_vectors.shape[1] <= 16
         and tree_chain_supported(2 * problem.state_num, problem.steps)
     )
 
 
-def make_mega_segment_runner(problem, conv, throughput: bool = False):
+def make_mega_segment_runner(problem, conv, throughput: bool = False,
+                             reg_coeffs=None):
     """(init_state, run_segment) on the fused multi-iteration kernel.
 
     ``run_segment(state, n)`` advances up to ``n`` iterations (python int;
     compiled once per distinct n) with the same convergence semantics as
     optim.adam.make_segment_runner.  ``throughput=True`` disables the
     convergence predicates (fixed-count benchmarking, the analog of
-    make_throughput_runner).
+    make_throughput_runner).  ``reg_coeffs`` may select the pulse-shape
+    penalties (amplitude/envelope/dwdt/d2wdt2), evaluated in-kernel with
+    the reference's conventions (coeff/steps scaling, sin(base) operand,
+    2-zero time padding).
     """
     p = problem
+    rc = reg_coeffs or {}
+    a_amp = float(rc.get("amplitude", 0.0)) / p.steps
+    a_env = float(rc.get("envelope", 0.0)) / p.steps
+    a_dwdt = float(rc.get("dwdt", 0.0)) / p.steps
+    a_d2 = float(rc.get("d2wdt2", 0.0)) / p.steps
+    inv_dt = 1.0 / float(p.dt)
     M = 2 * p.state_num
     T = p.steps
     Tp = _next_pow2(max(T, 2))
+    if (a_dwdt or a_d2) and Tp < T + 2:
+        # the difference costs read 2 zero lanes past T (the reference's
+        # 2-zero padding); a power-of-two T needs the next tree size
+        Tp *= 2
     Kc = p.ops_len
     if p.state_transfer:
         order, scaling = p.taylor_terms - 1, 0
@@ -293,6 +350,9 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False):
     target = jnp.asarray(p.target_vectors, dtype=jnp.float32)
     maxamp = jnp.asarray(
         np.asarray(p.ops_max_amp, dtype=np.float32).reshape(Kc, 1))
+    env = jnp.asarray(np.pad(
+        np.asarray(p.one_minus_gauss, dtype=np.float32),
+        ((0, 0), (0, Tp - T))))
     rate_factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
     if throughput:
         conv_target, min_grad, max_iterations = -1.0, -1.0, 2**30
@@ -320,16 +380,17 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False):
             M, p.state_num, T, Kc, V, order, scaling, int(n),
             not p.state_transfer, 0.9, 0.999, 1e-8, rate_factor,
             conv_target, min_grad, max_iterations,
+            a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp,
         )
-        u, m_, v_, lr, it, loss, g2, uscale, done = seg(
-            mats, psi0p, target, maxamp, u0rows,
+        u, m_, v_, lr, it, loss, g2, uscale, done, reg_loss = seg(
+            mats, psi0p, target, maxamp, u0rows, env,
             jnp.asarray(state.u_base), jnp.asarray(state.m),
             jnp.asarray(state.v), jnp.asarray(state.lr),
             jnp.asarray(state.iteration), jnp.asarray(state.done),
         )
         return MegaAdamState(
             u_base=u, m=m_, v=v_, lr=lr, iteration=it,
-            loss=loss, reg_loss=loss, grad_squared=g2,
+            loss=loss, reg_loss=reg_loss, grad_squared=g2,
             unitary_scale=uscale, done=done,
         )
 

@@ -58,7 +58,13 @@ def _run_xla(problem, conv, n):
 
 def test_supported_gates():
     assert mega_supported(_state_problem())
-    assert not mega_supported(_state_problem(), reg_coeffs={"dwdt": 0.01})
+    assert mega_supported(_state_problem(), reg_coeffs={"dwdt": 0.01})
+    assert not mega_supported(
+        _state_problem(), reg_coeffs={"bandpass": 0.1, "band": [0.1, 1.0]})
+    assert not mega_supported(
+        _state_problem(),
+        reg_coeffs={"forbidden_coeff_list": [1.0],
+                    "states_forbidden_list": [1]})
     assert not mega_supported(_state_problem(), gradient_mode="reference")
 
 
@@ -175,3 +181,57 @@ def test_grape_engine_mega_end_to_end():
     np.testing.assert_allclose(r_mega.loss, r_scan.loss, atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(r_mega.uks), np.asarray(r_scan.uks), atol=1e-3)
+
+
+@pytest.mark.parametrize("rc", [
+    {"amplitude": 0.2},
+    {"envelope": 0.3},
+    {"dwdt": 0.005},
+    {"d2wdt2": 1e-5},
+    {"amplitude": 0.1, "dwdt": 0.003, "d2wdt2": 1e-6, "envelope": 0.05},
+])
+def test_pulse_penalties_in_kernel(rc):
+    """amplitude/envelope/dwdt/d2wdt2 computed in-kernel match the XLA
+    cost registry (value and optimization trajectory)."""
+    problem = _state_problem()
+    conv = _conv()
+    assert mega_supported(problem, reg_coeffs=rc)
+
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
+    opt = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, opt)
+    ref = run_seg(init_adam_state(problem.u0_base, opt),
+                  jnp.asarray(20, dtype=jnp.int32))
+
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 20)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=5e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=1e-5)
+    np.testing.assert_allclose(float(ms.grad_squared),
+                               float(ref.grad_squared), rtol=1e-3)
+
+
+def test_pulse_penalties_power_of_two_steps():
+    """steps = power of two forces the next tree size for the difference
+    costs (the 2-zero padding needs lanes past T)."""
+    problem = _state_problem(steps=16)  # Tp would be 16 == T
+    rc = {"dwdt": 0.01}
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
+    opt = make_adam_optimizer(conv)
+    ref = make_segment_runner(loss_fn, conv, opt)[0](
+        init_adam_state(problem.u0_base, opt),
+        jnp.asarray(10, dtype=jnp.int32))
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 10)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=5e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=1e-5)
