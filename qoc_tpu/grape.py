@@ -38,7 +38,8 @@ class GrapeResult:
     """Everything a run produced (the reference returns only (uks, Uf))."""
 
     def __init__(self, uks, Uf, u_base, loss, reg_loss, unitary_scale,
-                 iterations, history, file_path, inter_vecs=None, problem=None):
+                 iterations, history, file_path, inter_vecs=None, problem=None,
+                 nfev=None):
         self.uks = uks
         self.Uf = Uf
         self.u_base = u_base
@@ -50,6 +51,9 @@ class GrapeResult:
         self.file_path = file_path
         self.inter_vecs = inter_vecs
         self.problem = problem
+        # scipy-bridge methods: number of function evaluations (each
+        # L-BFGS-B line-search probe is one), distinct from `iterations`
+        self.nfev = nfev
 
     def __iter__(self):  # allow `uks, Uf = Grape(...)` tuple unpacking
         return iter((self.uks, self.Uf))
@@ -121,6 +125,8 @@ def Grape(
                 "conv_target": conv.conv_target,
                 "learning_rate_decay": conv.learning_rate_decay},
             reg_coeffs=reg_coeffs, dressed_info=dressed_info,
+            use_gpu=use_gpu, sparse_H=sparse_H, sparse_U=sparse_U,
+            sparse_K=sparse_K,
         )
 
     problem = ControlProblem.build(
@@ -198,8 +204,29 @@ def Grape(
 
         plt.close(fig)
 
-    def save_step(iteration, loss, reg_loss, g2, uscale, u_base, start_time):
-        history.record(iteration, loss, reg_loss, g2, uscale)
+    # periodic evolution snapshots: the reference appends inter_vecs_* /
+    # final_state every evol_save_step iterations (run_session.py:84-91,
+    # convergence.py:64-68 -> analysis.py:31-33,62-99), building a
+    # training-time evolution history in the run file.
+    evol_state = {"last_idx": 0}
+
+    def maybe_save_evolution(iteration, u_base):
+        es = conv.evol_save_step
+        if not save or es <= 0 or iteration <= 0:
+            return
+        idx = iteration // es
+        if idx <= evol_state["last_idx"]:
+            return
+        evol_state["last_idx"] = idx
+        out = forward(u_base)
+        _analysis.append_evolution(
+            file_path, problem, np.asarray(out.final_state),
+            np.asarray(out.inter_vecs) if out.inter_vecs is not None else None,
+        )
+
+    def save_step(iteration, loss, reg_loss, g2, uscale, u_base, start_time,
+                  lr=None):
+        history.record(iteration, loss, reg_loss, g2, uscale, lr=lr)
         if save:
             _analysis.append_metrics(
                 file_path,
@@ -209,6 +236,7 @@ def Grape(
                 run_time=time.time() - start_time,
                 unitary_scale=uscale,
             )
+        maybe_save_evolution(iteration, u_base)
         if show_plots:
             display_dashboard(u_base)
         else:
@@ -219,6 +247,7 @@ def Grape(
             )
 
     start_time = time.time()
+    nfev = None
 
     if method_u == "EVOLVE":
         out = forward(problem.u0_base)
@@ -298,6 +327,7 @@ def Grape(
                     float(state.reg_loss), float(state.grad_squared),
                     float(state.unitary_scale), host_u(state),
                     start_time,
+                    lr=conv.learning_rate(int(state.iteration)),
                 )
                 if save:
                     from .utils.checkpoint import save_checkpoint
@@ -378,7 +408,12 @@ def Grape(
         out = forward(u_base)
         loss, reg_loss = float(out.loss), float(out.reg_loss)
         uscale = float(out.unitary_scale)
-        iterations = int(res.get("nfev", 0))
+        # honest accounting: `nit` is optimizer iterations (the reference's
+        # per-eval counter, run_session.py:151-167, conflates line-search
+        # probes with iterations); function evaluations stay separately
+        # available as GrapeResult.nfev.
+        iterations = int(res.get("nit", res.get("nfev", 0)))
+        nfev = int(res.get("nfev", 0))
         if not show_plots:
             print(res.message)
             print("Error = %1.2e" % loss)
@@ -416,4 +451,5 @@ def Grape(
         uks=uks, Uf=Uf, u_base=u_base, loss=loss, reg_loss=reg_loss,
         unitary_scale=uscale, iterations=iterations, history=history,
         file_path=file_path, inter_vecs=inter_vecs, problem=problem,
+        nfev=nfev,
     )

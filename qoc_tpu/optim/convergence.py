@@ -59,10 +59,15 @@ class History:
     reg_costs: list = dataclasses.field(default_factory=list)
     grad_squareds: list = dataclasses.field(default_factory=list)
     unitary_scales: list = dataclasses.field(default_factory=list)
+    learning_rates: list = dataclasses.field(default_factory=list)
 
-    def record(self, iteration, loss, reg_loss, grad_sq, unitary_scale):
+    def record(self, iteration, loss, reg_loss, grad_sq, unitary_scale,
+               lr=None):
         self.iterations.append(int(iteration))
         self.costs.append(float(loss))
         self.reg_costs.append(float(reg_loss))
         self.grad_squareds.append(float(grad_sq))
         self.unitary_scales.append(float(unitary_scale))
+        # per-update learning rate (core/convergence.py:59 bookkeeping);
+        # None for optimizers without an LR schedule (BFGS/L-BFGS)
+        self.learning_rates.append(None if lr is None else float(lr))

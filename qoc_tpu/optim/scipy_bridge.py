@@ -69,7 +69,6 @@ def run_scipy_optimizer(
         options = {
             "maxfun": conv.max_iterations,
             "gtol": conv.min_grad,
-            "disp": False,
             "maxls": 40,
         }
     else:

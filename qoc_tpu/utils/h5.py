@@ -182,8 +182,17 @@ def save_run_inputs(
     convergence: Optional[dict] = None,
     reg_coeffs: Optional[dict] = None,
     dressed_info: Optional[dict] = None,
+    use_gpu: bool = True,
+    sparse_H: bool = True,
+    sparse_U: bool = False,
+    sparse_K: bool = False,
 ):
-    """Dump all run inputs up-front (grape.py:55-87 schema)."""
+    """Dump all run inputs up-front (grape.py:55-87 schema).
+
+    ``use_gpu``/``sparse_H/U/K`` have no effect on TPU but are part of the
+    reference's input-dump field list (grape.py:63-66) — schema-complete
+    readers expect them.
+    """
     with H5File(file_path, "a") as hf:
         hf.add("H0", H0)
         hf.add("Hops", Hops)
@@ -192,6 +201,10 @@ def save_run_inputs(
         hf.add("total_time", total_time)
         hf.add("steps", steps)
         hf.add("states_concerned_list", states_concerned_list)
+        hf.add("use_gpu", use_gpu)
+        hf.add("sparse_H", sparse_H)
+        hf.add("sparse_U", sparse_U)
+        hf.add("sparse_K", sparse_K)
         if maxA is not None:
             hf.add("maxA", maxA)
         if initial_guess is not None:

@@ -310,3 +310,47 @@ def test_pi_pulse_native_lbfgs():
     """On-device optax L-BFGS (the fast quasi-Newton path)."""
     res = run_pi_pulse("L-BFGS-JAX")
     assert res.loss < 1e-4
+
+
+def test_evol_save_step_snapshots(tmp_path):
+    """Periodic evolution snapshots: inter_vecs_raw_* / final_state must
+    accumulate every evol_save_step iterations (run_session.py:84-91), not
+    only once at the end."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=True, show_plots=False,
+        file_name="evol", data_path=str(tmp_path),
+        convergence={"rate": 0.01, "update_step": 20, "evol_save_step": 20,
+                     "max_iterations": 100, "conv_target": 1e-12},
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+    )
+    import h5py
+
+    with h5py.File(res.file_path, "r") as hf:
+        n_snap = hf["inter_vecs_raw_real"].shape[0]
+        # 5 periodic snapshots (iters 20..100) + the final one
+        assert n_snap >= 5, n_snap
+        assert hf["inter_vecs_raw_imag"].shape[0] == n_snap
+        assert hf["inter_vecs_mag_squared"].shape[0] == n_snap
+        # snapshots evolve: first and last differ
+        first = np.array(hf["inter_vecs_raw_real"][0])
+        last = np.array(hf["inter_vecs_raw_real"][-1])
+        assert not np.allclose(first, last)
+
+
+def test_history_learning_rates():
+    res = run_pi_pulse("Adam")
+    lrs = [x for x in res.history.learning_rates if x is not None]
+    assert len(lrs) == len(res.history.iterations)
+    # exponential decay schedule: monotonically non-increasing
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+
+
+def test_scipy_iteration_accounting():
+    """GrapeResult.iterations must be scipy's nit (optimizer iterations);
+    line-search probes are counted separately in nfev."""
+    res = run_pi_pulse("L-BFGS-B")
+    assert res.nfev is not None
+    assert 0 < res.iterations <= res.nfev

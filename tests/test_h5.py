@@ -141,3 +141,26 @@ def test_axes_metadata(tmp_path):
         hf.set_labels(hf["data"], "time", "amp")
     with H5File(p, "r") as hf:
         assert np.allclose(hf["data"].attrs["_axes"], [[0, 1], [-1, 1]])
+
+
+def test_save_run_inputs_reference_field_list(tmp_path):
+    """The reference's full input-dump field list (grape.py:55-87) must
+    round-trip — schema-complete readers index use_gpu/sparse_*."""
+    p = str(tmp_path / "full.h5")
+    H0 = np.diag([0.0, 1.0]).astype(complex)
+    save_run_inputs(
+        p, H0=H0, Hops=[H0], Hnames=["h"], U=np.eye(2),
+        total_time=5.0, steps=50, states_concerned_list=[0, 1],
+        maxA=[4.0], method="Adam", convergence={"rate": 0.01},
+        reg_coeffs=None, dressed_info=None,
+        use_gpu=False, sparse_H=True, sparse_U=False, sparse_K=False,
+    )
+    import h5py
+
+    with h5py.File(p, "r") as hf:
+        for key in ("H0", "Hops", "Hnames", "U", "total_time", "steps",
+                    "states_concerned_list", "use_gpu", "sparse_H",
+                    "sparse_U", "sparse_K", "maxA", "method", "convergence"):
+            assert key in hf, key
+        assert not bool(np.array(hf["use_gpu"]))
+        assert bool(np.array(hf["sparse_H"]))
