@@ -121,6 +121,64 @@ def batched_iters_per_sec_mega(n_seeds=1024, n_iters=100):
     return n_seeds * n_iters / (time.perf_counter() - t0)
 
 
+def _leakage_problem(steps=100, levels=5):
+    """Flagship config (BASELINE.json config 3 / __graft_entry__): transmon
+    qudit X gate with forbidden leakage levels."""
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+
+    a = q.annihilate(levels)
+    H0 = 2 * np.pi * (-0.2) / 2 * (a.conj().T @ a.conj().T @ a @ a)
+    return ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, levels), 6.0, steps, [0, 1],
+        maxA=[2.0, 2.0], seed=0,
+    )
+
+
+_LEAKAGE_RC = {"forbidden_coeff_list": [10.0, 10.0, 10.0],
+               "states_forbidden_list": [2, 3, 4], "dwdt": 0.001}
+
+
+def leakage_iters_per_sec(device, n_iters=3000, fused=True):
+    """Flagship transmon-leakage throughput.  ``fused=True`` takes the
+    prefix-scan mega kernel (forbidden-state penalties in-kernel — the
+    round-1 gap: inter-vec costs used to fall back to the generic XLA
+    path); ``fused=False`` measures that generic XLA path for comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    problem = _leakage_problem()
+    conv = _conv()
+    if fused:
+        from qoc_tpu.ops.pallas_mega import (
+            make_mega_segment_runner, mega_supported)
+
+        assert mega_supported(problem, _LEAKAGE_RC)
+        init_state, run_segment, _ = make_mega_segment_runner(
+            problem, conv, throughput=True, reg_coeffs=_LEAKAGE_RC)
+        ms = init_state(problem.u0_base)
+        _sync(run_segment(ms, n_iters).u_base)   # compile + warm
+        t0 = time.perf_counter()
+        _sync(run_segment(ms, n_iters).u_base)
+        return n_iters / (time.perf_counter() - t0)
+
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=_LEAKAGE_RC)
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jax.device_put(jnp.asarray(problem.u0_base), device)
+    os0 = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)),
+                         device)
+    _sync(run_n(u, os0, n_iters)[0])
+    t0 = time.perf_counter()
+    _sync(run_n(u, os0, n_iters)[0])
+    return n_iters / (time.perf_counter() - t0)
+
+
 def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     """Aggregate (seeds x iterations)/sec through the fused Pallas batch
     kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
@@ -317,6 +375,12 @@ def main():
     d64 = dim64_iters_per_sec(primary)
     d200 = dim200_sweep_iters_per_sec() if is_tpu else 0.0
     if is_tpu:
+        leak = leakage_iters_per_sec(primary, fused=True)
+        leak_xla = leakage_iters_per_sec(primary, n_iters=300, fused=False)
+    else:
+        leak = leakage_iters_per_sec(primary, n_iters=300, fused=False)
+        leak_xla = leak
+    if is_tpu:
         cpu = jax.devices("cpu")[0]
         cpu_ips = iters_per_sec(cpu, "scan", n_iters=3000)
         vs_baseline = ips / cpu_ips
@@ -339,6 +403,8 @@ def main():
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),
         "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
+        "leakage_transmon_iters_per_sec": round(leak, 2),
+        "leakage_transmon_xla_iters_per_sec": round(leak_xla, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),
         "final_loss": loss,
         "iterations_to_target": iters,

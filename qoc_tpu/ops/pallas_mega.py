@@ -45,6 +45,8 @@ from .pallas_tree import (
     _interpret,
     _levels,
     _next_pow2,
+    scan_backward_vals,
+    scan_forward_vals,
     tree_backward_vals,
     tree_chain_supported,
     tree_forward_vals,
@@ -60,7 +62,7 @@ def _mega_kernel(
     # static
     M, N, T, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
-    a_amp, a_env, a_dwdt, a_d2, inv_dt,
+    a_amp, a_env, a_dwdt, a_d2, inv_dt, forb, forb_c0,
     # refs: inputs
     mats_ref, psi0_ref, target_ref, maxamp_ref, u0rows_ref, env_ref,
     u_ref, m_ref, v_ref, sf_ref, si_ref,
@@ -90,12 +92,23 @@ def _mega_kernel(
     def iteration(i, carry):
         u, am, av, lr, itc, done = carry
 
-        # ---- forward: weights -> chain product E (lane 0) ----
+        # ---- forward: weights -> chain product E ----
         sw = jnp.sin(u) * live                # normalized weights sin(base)
         amps = maxamp * sw
         w = jnp.concatenate([ones_row, amps], axis=0)     # [Kc+1, Tp]
-        X, an, sq, tree = tree_forward_vals(M, order, scaling, mats, w)
-        E = X[:, :, 0:1]                                  # [M, M, 1]
+        if forb:
+            # forbidden-state costs read the whole trajectory: the inclusive
+            # prefix scan yields every P_t..P_0 (full product at lane T-1)
+            X, an, sq, levels = scan_forward_vals(M, order, scaling, mats, w)
+            E = X[:, :, T - 1 : T]                        # [M, M, 1]
+            # traj[i, v, t] = psi_{t+1}[i, v] = sum_j X[i,j,t] psi0p[j,v]
+            traj = None
+            for j in range(M):
+                term = X[:, j, :][:, None, :] * psi0[j][None, :, None]
+                traj = term if traj is None else traj + term
+        else:
+            X, an, sq, tree = tree_forward_vals(M, order, scaling, mats, w)
+            E = X[:, :, 0:1]                              # [M, M, 1]
 
         # final[i, v] = sum_j E[i, j] * psi0p[j, v]
         final = None
@@ -118,20 +131,6 @@ def _mega_kernel(
             uscale = (0.5 / N) * jnp.sum(erow * erow)
         else:
             uscale = (jnp.sum(fa * fa) + jnp.sum(fb * fb)) ** 2 / (V * V)
-
-        # ---- backward: dL/dE -> dL/du ----
-        scale2 = -2.0 / (V * V)
-        fbar_top = scale2 * (re * ta - im * tb)
-        fbar_bot = scale2 * (re * tb + im * ta)
-        fbar = jnp.concatenate([fbar_top, fbar_bot], axis=0)   # [M, V]
-        Ebar0 = None
-        for v_ in range(V):
-            term = fbar[:, v_ : v_ + 1] * psi0[:, v_][None, :]  # [M, M]
-            Ebar0 = term if Ebar0 is None else Ebar0 + term
-        Ebar = jnp.where(lane3 == 0, Ebar0[:, :, None], 0.0)
-        wrows = tree_backward_vals(M, order, scaling, mats, an, sq, tree,
-                                   Ebar)
-        wbar = jnp.stack(wrows[1:])                        # drop drift row
 
         # ---- pulse-shape penalties on sin(base) (models/costs.py) ----
         # Circular rolls implement the reference's 2-zero padding exactly
@@ -156,6 +155,73 @@ def _mega_kernel(
             reg = reg + a_d2 * 0.5 * jnp.sum(s2 * s2)
             gw = gw + (a_d2 * inv_dt * inv_dt) * (
                 s2 - 2.0 * _roll(s2, -1) + _roll(s2, -2)) * live
+
+        # ---- forbidden-state occupation penalties (in-kernel) ----
+        # regularization_functions.py:71-85 semantics: per (coeff, level)
+        # pair, l2 over timesteps of the level population, summed over
+        # concerned vectors; optional dressed rotation folded into the
+        # static projection rows rs/rns; the constant t=0 (psi0) term is
+        # precomputed host-side as forb_c0.
+        rowbars = [None] * M
+        if forb:
+            live_vt = (
+                lax.broadcasted_iota(jnp.int32, (V, Tp), 1) < T
+            ).astype(jnp.float32)
+            reg = reg + forb_c0
+            for alpha, rs, rns in forb:
+                phi_s = traj[0] * 0.0
+                phi_ns = traj[0] * 0.0
+                for j in range(M):
+                    if rs[j]:
+                        phi_s = phi_s + rs[j] * traj[j]
+                    if rns[j]:
+                        phi_ns = phi_ns + rns[j] * traj[j]
+                pop = (phi_s * phi_s + phi_ns * phi_ns) * live_vt  # [V, Tp]
+                reg = reg + alpha * 0.5 * jnp.sum(pop * pop)
+                pb_s = (2.0 * alpha) * pop * phi_s
+                pb_ns = (2.0 * alpha) * pop * phi_ns
+                for j in range(M):
+                    add = None
+                    if rs[j]:
+                        add = rs[j] * pb_s
+                    if rns[j]:
+                        t2 = rns[j] * pb_ns
+                        add = t2 if add is None else add + t2
+                    if add is not None:
+                        rowbars[j] = (
+                            add if rowbars[j] is None else rowbars[j] + add)
+
+        # ---- backward: dL/dE (+ dL/dtraj) -> dL/du ----
+        scale2 = -2.0 / (V * V)
+        fbar_top = scale2 * (re * ta - im * tb)
+        fbar_bot = scale2 * (re * tb + im * ta)
+        fbar = jnp.concatenate([fbar_top, fbar_bot], axis=0)   # [M, V]
+        if forb:
+            # fidelity cotangent seeds lane T-1 of the prefix products;
+            # forbidden cotangents are dense over lanes
+            lane_fvt = lax.broadcasted_iota(jnp.int32, (M, V, Tp), 2)
+            trajbar = jnp.where(lane_fvt == T - 1, fbar[:, :, None], 0.0)
+            rows = [
+                trajbar[j] if rowbars[j] is None else trajbar[j] + rowbars[j]
+                for j in range(M)
+            ]
+            trajbar = jnp.stack(rows, axis=0)
+            Xbar = None
+            for v_ in range(V):
+                term = (trajbar[:, v_, :][:, None, :]
+                        * psi0[:, v_][None, :, None])
+                Xbar = term if Xbar is None else Xbar + term
+            wrows = scan_backward_vals(M, order, scaling, mats, an, sq,
+                                       levels, Xbar)
+        else:
+            Ebar0 = None
+            for v_ in range(V):
+                term = fbar[:, v_ : v_ + 1] * psi0[:, v_][None, :]  # [M, M]
+                Ebar0 = term if Ebar0 is None else Ebar0 + term
+            Ebar = jnp.where(lane3 == 0, Ebar0[:, :, None], 0.0)
+            wrows = tree_backward_vals(M, order, scaling, mats, an, sq, tree,
+                                       Ebar)
+        wbar = jnp.stack(wrows[1:])                        # drop drift row
 
         g = (wbar * maxamp + gw) * jnp.cos(u) * live
         g2 = 0.5 * jnp.sum(g * g)                          # tf.nn.l2_loss
@@ -217,12 +283,12 @@ def _mega_kernel(
 def _build_mega_call(
     M, N, T, Kc, V, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
-    a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp,
+    a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp, forb, forb_c0,
 ):
     kernel = functools.partial(
         _mega_kernel, M, N, T, order, scaling, n_iters, unitary_mode,
         b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
-        a_amp, a_env, a_dwdt, a_d2, inv_dt,
+        a_amp, a_env, a_dwdt, a_d2, inv_dt, forb, forb_c0,
     )
     call = pl.pallas_call(
         kernel,
@@ -288,19 +354,72 @@ class MegaAdamState(NamedTuple):
 
 
 _MEGA_COSTS = ("amplitude", "envelope", "dwdt", "d2wdt2")
+_MEGA_FORB_KEYS = ("forbidden_coeff_list", "forbidden",
+                   "states_forbidden_list", "forbid_dressed")
+
+
+def _forbidden_pairs(reg_coeffs):
+    """[(coeff, level), ...] from either spelling, or []."""
+    rc = reg_coeffs or {}
+    coeffs = rc.get("forbidden_coeff_list", rc.get("forbidden"))
+    if coeffs is None:
+        return []
+    return list(zip(coeffs, rc["states_forbidden_list"]))
+
+
+def forbidden_static(problem, reg_coeffs):
+    """Static kernel parameters for the forbidden-state penalties.
+
+    Returns (forb, c0): ``forb`` is a tuple of (alpha, rs, rns) with the
+    (optional) dressed rotation folded into per-level projection rows
+    rs[j] = R[j, s], rns[j] = R[j, N+s] (one-hot when undressed,
+    regularization_functions.py:73-80), and ``c0`` the constant t=0 (psi0)
+    contribution — inter_vecs[0] is the RAW initial vectors in both modes.
+    """
+    rc = reg_coeffs or {}
+    pairs = _forbidden_pairs(rc)
+    Nc = problem.state_num
+    R = (
+        np.asarray(problem.v_sorted_iso, dtype=np.float64)
+        if (problem.v_sorted_iso is not None
+            and rc.get("forbid_dressed", False))
+        else None
+    )
+    forb = []
+    c0 = 0.0
+    iv0 = np.asarray(problem.initial_vectors, dtype=np.float64)   # [2N, V]
+    rot0 = iv0 if R is None else R.T @ iv0
+    for coeff, s in pairs:
+        alpha = float(coeff) / problem.steps
+        if R is None:
+            rs = tuple(1.0 if j == s else 0.0 for j in range(2 * Nc))
+            rns = tuple(1.0 if j == Nc + s else 0.0 for j in range(2 * Nc))
+        else:
+            rs = tuple(float(x) for x in R[:, s])
+            rns = tuple(float(x) for x in R[:, Nc + s])
+        forb.append((alpha, rs, rns))
+        pop0 = rot0[s] ** 2 + rot0[Nc + s] ** 2
+        c0 += alpha * 0.5 * float(np.sum(pop0 ** 2))
+    return tuple(forb), c0
 
 
 def mega_supported(problem, reg_coeffs=None, gradient_mode="exact") -> bool:
     """The fused-optimizer path covers the fidelity objective plus the
-    pulse-shape penalties (amplitude/envelope/dwdt/d2wdt2 — computed
-    in-kernel) on problems small enough for the VMEM-resident tree
-    (M_real <= 12).  State-dependent or spectral costs fall back to the
-    XLA segment runner."""
-    extra = set(reg_coeffs or {}) - set(_MEGA_COSTS)
+    pulse-shape penalties (amplitude/envelope/dwdt/d2wdt2) and the
+    forbidden-state occupation penalties — all computed in-kernel — on
+    problems small enough for the VMEM-resident tree/scan (M_real <= 12).
+    Spectral (bandpass) and speed_up costs fall back to the XLA segment
+    runner."""
+    extra = set(reg_coeffs or {}) - set(_MEGA_COSTS) - set(_MEGA_FORB_KEYS)
+    has_forb = bool(_forbidden_pairs(reg_coeffs))
+    V = problem.initial_vectors.shape[1]
+    if has_forb and (not problem.use_inter_vecs or V > 8):
+        # trajectory buffers [M, V, Tp] ride VMEM next to the scan levels
+        return False
     return (
         not extra
         and gradient_mode == "exact"
-        and problem.initial_vectors.shape[1] <= 16
+        and V <= 16
         and tree_chain_supported(2 * problem.state_num, problem.steps)
     )
 
@@ -325,6 +444,8 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False,
     a_dwdt = float(rc.get("dwdt", 0.0)) / p.steps
     a_d2 = float(rc.get("d2wdt2", 0.0)) / p.steps
     inv_dt = 1.0 / float(p.dt)
+
+    forb, forb_c0 = forbidden_static(p, rc)
     M = 2 * p.state_num
     T = p.steps
     Tp = _next_pow2(max(T, 2))
@@ -380,7 +501,7 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False,
             M, p.state_num, T, Kc, V, order, scaling, int(n),
             not p.state_transfer, 0.9, 0.999, 1e-8, rate_factor,
             conv_target, min_grad, max_iterations,
-            a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp,
+            a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp, forb, forb_c0,
         )
         u, m_, v_, lr, it, loss, g2, uscale, done, reg_loss = seg(
             mats, psi0p, target, maxamp, u0rows, env,

@@ -94,17 +94,14 @@ def _identity3(M: int, Tp: int):
 # ---------------------------------------------------------------------------
 
 
-def tree_forward_vals(M, order, scaling, mats, w):
-    """Taylor expm + squarings + rolling product tree, on VALUES.
+def taylor_step_vals(M, order, scaling, mats, w):
+    """Per-lane step propagators E_t = expm_taylor(sum_k w[k,t] mats[k]).
 
-    mats: [K, M, M]; w: [K, Tp] (Tp a power of two, zero-padded).
-    Returns (X [M, M, Tp] — total chain product valid at lane 0,
-             an: list of A^1..A^{order-1}, sq: list of pre-squaring E's,
-             tree: list of per-level inputs), each element [M, M, Tp].
+    mats: [K, M, M]; w: [K, Tp].  Returns (E [M, M, Tp],
+    an: list of A^1..A^{order-1}, sq: list of pre-squaring E's).
     """
     K = w.shape[0]
     Tp = w.shape[1]
-    L = _levels(Tp)
 
     # A[i,j,t] = (sum_k mats[k,i,j] * w[k,t]) / 2^scaling
     A = mats[0][:, :, None] * w[0][None, None, :]
@@ -129,35 +126,14 @@ def tree_forward_vals(M, order, scaling, mats, w):
     for s in range(scaling):
         sq.append(E)
         E = _mm(M, E, E)
-
-    # rolling product tree: lane t accumulates P_{t+2^l-1}..P_t
-    X = E
-    tree = []
-    for l in range(L):
-        tree.append(X)
-        X = _mm(M, _roll(X, -(1 << l)), X)
-    return X, an, sq, tree
+    return E, an, sq
 
 
-def tree_backward_vals(M, order, scaling, mats, an, sq, tree, Ebar):
-    """Reverse-mode of ``tree_forward_vals`` on VALUES.
-
-    Ebar: [M, M, Tp] cotangent of the tree output (caller masks to lane 0).
-    Returns wbar rows: list of K arrays [Tp] (stack for [K, Tp]).
-    """
+def taylor_step_backward_vals(M, order, scaling, mats, an, sq, Ebar):
+    """Reverse-mode of ``taylor_step_vals`` (squarings + Taylor series),
+    per lane.  Ebar: [M, M, Tp] cotangent of the step propagators.
+    Returns wbar rows: list of K arrays [Tp]."""
     K = mats.shape[0]
-    Tp = Ebar.shape[-1]
-    L = _levels(Tp)
-    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
-
-    # tree reverse
-    for l in range(L - 1, -1, -1):
-        d = 1 << l
-        X = tree[l]
-        # level output is valid only at lanes = 0 mod 2d
-        Rb = jnp.where(lane % (2 * d) == 0, Ebar, 0.0)
-        Y = _roll(X, -d)
-        Ebar = _mm_tn(M, Y, Rb) + _roll(_mm_nt(M, Rb, X), d)
 
     # squarings reverse: E' = E^2  ->  Ebar = Ebar E^T + E^T Ebar
     for s in range(scaling - 1, -1, -1):
@@ -185,6 +161,106 @@ def tree_backward_vals(M, order, scaling, mats, an, sq, tree, Ebar):
     return [
         jnp.sum(mats[k][:, :, None] * Abar, axis=(0, 1)) for k in range(K)
     ]
+
+
+def tree_forward_vals(M, order, scaling, mats, w):
+    """Taylor expm + squarings + rolling product tree, on VALUES.
+
+    mats: [K, M, M]; w: [K, Tp] (Tp a power of two, zero-padded).
+    Returns (X [M, M, Tp] — total chain product valid at lane 0,
+             an: list of A^1..A^{order-1}, sq: list of pre-squaring E's,
+             tree: list of per-level inputs), each element [M, M, Tp].
+    """
+    Tp = w.shape[1]
+    L = _levels(Tp)
+    E, an, sq = taylor_step_vals(M, order, scaling, mats, w)
+
+    # rolling product tree: lane t accumulates P_{t+2^l-1}..P_t
+    X = E
+    tree = []
+    for l in range(L):
+        tree.append(X)
+        X = _mm(M, _roll(X, -(1 << l)), X)
+    return X, an, sq, tree
+
+
+def tree_backward_vals(M, order, scaling, mats, an, sq, tree, Ebar):
+    """Reverse-mode of ``tree_forward_vals`` on VALUES.
+
+    Ebar: [M, M, Tp] cotangent of the tree output (caller masks to lane 0).
+    Returns wbar rows: list of K arrays [Tp] (stack for [K, Tp]).
+    """
+    Tp = Ebar.shape[-1]
+    L = _levels(Tp)
+    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+
+    # tree reverse
+    for l in range(L - 1, -1, -1):
+        d = 1 << l
+        X = tree[l]
+        # level output is valid only at lanes = 0 mod 2d
+        Rb = jnp.where(lane % (2 * d) == 0, Ebar, 0.0)
+        Y = _roll(X, -d)
+        Ebar = _mm_tn(M, Y, Rb) + _roll(_mm_nt(M, Rb, X), d)
+
+    return taylor_step_backward_vals(M, order, scaling, mats, an, sq, Ebar)
+
+
+def scan_forward_vals(M, order, scaling, mats, w):
+    """Taylor expm + squarings + INCLUSIVE prefix scan, on VALUES.
+
+    Hillis-Steele over the lane axis: after level l, lane t holds
+    ``P_t @ ... @ P_{max(t-2^l+1, 0)}``; after all log2(Tp) levels every
+    lane t holds the prefix product ``P_t @ ... @ P_0`` — i.e. the entire
+    propagator *trajectory*, which is what the intermediate-state costs
+    (forbidden-state occupation, speed_up) read.  Same per-level cost as
+    the rolling tree (one full-lane matmul), one extra select.
+
+    Zero-padded lanes (t >= T) hold E = I, so their prefixes equal the full
+    chain product: the final propagator is readable at ANY lane >= T-1.
+
+    Returns (X [M, M, Tp] prefix products, an, sq, levels: list of
+    per-level inputs for the backward pass).
+    """
+    Tp = w.shape[1]
+    L = _levels(Tp)
+    E, an, sq = taylor_step_vals(M, order, scaling, mats, w)
+    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+
+    X = E
+    levels = []
+    for l in range(L):
+        d = 1 << l
+        levels.append(X)
+        # lanes t < d are already complete prefixes; keep them
+        X = jnp.where(lane >= d, _mm(M, X, _roll(X, d)), X)
+    return X, an, sq, levels
+
+
+def scan_backward_vals(M, order, scaling, mats, an, sq, levels, Xbar):
+    """Reverse-mode of ``scan_forward_vals`` on VALUES.
+
+    Xbar: [M, M, Tp] cotangent of the prefix products (may be dense over
+    lanes — intermediate-state costs touch every timestep).
+    Returns wbar rows: list of K arrays [Tp].
+    """
+    Tp = Xbar.shape[-1]
+    L = _levels(Tp)
+    lane = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
+
+    for l in range(L - 1, -1, -1):
+        d = 1 << l
+        X = levels[l]
+        mask = lane >= d
+        B = jnp.where(mask, Xbar, 0.0)       # cotangent of the product lanes
+        keep = jnp.where(mask, 0.0, Xbar)    # pass-through lanes
+        # prod[t] = X[t] @ X[t-d]:
+        #   left operand:  Xbar_l[t]   += B[t] @ X[t-d]^T
+        #   right operand: Xbar_l[t-d] += X[t]^T @ B[t]   (deposited via roll)
+        # roll wrap-around is harmless: the wrapped lanes carry B == 0.
+        Xbar = keep + _mm_nt(M, B, _roll(X, d)) + _roll(_mm_tn(M, X, B), -d)
+
+    return taylor_step_backward_vals(M, order, scaling, mats, an, sq, Xbar)
 
 
 # ---------------------------------------------------------------------------

@@ -51,14 +51,16 @@ def init_seeds(
     )
 
 
-def _make_mega_backend(problem, conv, extra_channel_mats, mesh):
+def _make_mega_backend(problem, conv, extra_channel_mats, mesh,
+                       reg_coeffs=None):
     """(init_state, run_segment) adapter: the fused batched-optimizer
     kernel behind the BatchState protocol (same fields batched_grape_adam
     and user code read)."""
     from .pallas_mega_batch import make_mega_batched_runner
 
     init_m, run_m, _ = make_mega_batched_runner(
-        problem, conv, extra_channel_mats=extra_channel_mats, mesh=mesh)
+        problem, conv, extra_channel_mats=extra_channel_mats, mesh=mesh,
+        reg_coeffs=reg_coeffs)
 
     def init_state(u_bases) -> BatchState:
         u_bases = jnp.asarray(u_bases)
@@ -86,7 +88,7 @@ def _make_mega_backend(problem, conv, extra_channel_mats, mesh):
             opt_state=ms,
             iteration=jnp.asarray(ms.iteration, dtype=jnp.int32),
             loss=losses,
-            reg_loss=losses,  # mega scope is the pure-fidelity objective
+            reg_loss=jnp.asarray(ms.reg_losses),
             grad_squared=jnp.asarray(ms.grad_squared),
             done=jnp.asarray(ms.done_cols)[0, ::V] > 0.5,
         )
@@ -151,7 +153,8 @@ def make_batched_runner(
             backend = "xla"
 
     if backend == "mega":
-        return _make_mega_backend(problem, conv, extra_channel_mats, mesh)
+        return _make_mega_backend(problem, conv, extra_channel_mats, mesh,
+                                  reg_coeffs=reg_coeffs)
 
     if backend in ("pallas", "xla-cols"):
         if backend == "pallas":

@@ -62,10 +62,19 @@ def _pick_column_block(M: int, T: int, Kc: int) -> int:
     return 0
 
 
+_BATCH_FORB_KEYS = ("forbidden_coeff_list", "forbidden",
+                    "states_forbidden_list", "forbid_dressed")
+
+
 def batched_mega_supported(problem: ControlProblem,
                            reg_coeffs: Optional[dict] = None) -> bool:
     if reg_coeffs:
-        return False
+        # forbidden-state penalties ride the VMEM-resident trajectory the
+        # backward sweep already stores; other costs fall back to XLA
+        if set(reg_coeffs) - set(_BATCH_FORB_KEYS):
+            return False
+        if not problem.use_inter_vecs:
+            return False
     if not problem.state_transfer and problem.taylor_scaling != 0:
         return False
     if problem.initial_vectors.shape[1] > 8:
@@ -115,7 +124,7 @@ def _matvec(A, x):
 
 
 def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
-            factor, conv_target, min_grad, max_iterations,
+            factor, conv_target, min_grad, max_iterations, forb, forb_c0,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
             u_in, m_in, v_in, it_in, done_in,
             u_out, m_out, v_out, it_out, done_out, stats_ref,
@@ -155,6 +164,47 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
             y = y + ew_ref[e][None, :] * _matvec(mref[1 + Kc + e], x)
         return y
 
+    def forb_rows(psi):
+        """Per forbidden term: (alpha, phi_s, phi_ns) projections of a state
+        block [M, CB] onto the (optionally dressed) level rows."""
+        out = []
+        for alpha, rs, rns in forb:
+            phi_s = psi[0] * 0.0
+            phi_ns = psi[0] * 0.0
+            for j in range(M):
+                if rs[j]:
+                    phi_s = phi_s + rs[j] * psi[j]
+                if rns[j]:
+                    phi_ns = phi_ns + rns[j] * psi[j]
+            out.append((alpha, phi_s, phi_ns))
+        return out
+
+    def forb_penalty(psi, pen):
+        for alpha, phi_s, phi_ns in forb_rows(psi):
+            pop = phi_s * phi_s + phi_ns * phi_ns        # [CB]
+            pen = pen + alpha * 0.5 * pop * pop
+        return pen
+
+    def forb_cotangent(psi, pbar):
+        """pbar += dPenalty/dpsi for one stored trajectory block."""
+        rows = [None] * M
+        for (alpha, rs, rns), (_, phi_s, phi_ns) in zip(forb, forb_rows(psi)):
+            pop = phi_s * phi_s + phi_ns * phi_ns
+            pb_s = (2.0 * alpha) * pop * phi_s
+            pb_ns = (2.0 * alpha) * pop * phi_ns
+            for j in range(M):
+                add = None
+                if rs[j]:
+                    add = rs[j] * pb_s
+                if rns[j]:
+                    t2 = rns[j] * pb_ns
+                    add = t2 if add is None else add + t2
+                if add is not None:
+                    rows[j] = add if rows[j] is None else rows[j] + add
+        return pbar + jnp.stack(
+            [rows[j] if rows[j] is not None else psi[0] * 0.0
+             for j in range(M)], axis=0)
+
     def iteration(i, _):
         # physical weights for every timestep, one bulk elementwise pass
         w_s[:] = maxamp[None, :, 0:1] * jnp.sin(u_out[:])
@@ -162,7 +212,8 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
         # ---------------- forward chain ----------------
         traj[0] = psi0
 
-        def fstep(tt, psi):
+        def fstep(tt, carry):
+            psi, pen = carry
             t0 = tt * unroll
             wts = w_s[pl.ds(t0, unroll)]          # [unroll, Kc, CB]
             for s in range(unroll):
@@ -173,10 +224,13 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
                     pn = apply_A(wt, pn, mats_ref) * (1.0 / n)
                     acc = acc + pn
                 traj[pl.ds(t0 + s + 1, 1)] = acc[None]
+                if forb:
+                    pen = forb_penalty(acc, pen)
                 psi = acc
-            return psi
+            return psi, pen
 
-        psiT = lax.fori_loop(0, T // unroll, fstep, psi0)
+        psiT, pen = lax.fori_loop(
+            0, T // unroll, fstep, (psi0, psi0[0] * 0.0))
 
         # -------- coherent fidelity per seed group (V columns) --------
         # get_inner_product_2D semantics: the per-column overlaps sum
@@ -189,6 +243,9 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
         gi = (-2.0 / (V * V)) * im[None, :]
         gbar = jnp.concatenate(
             [gr * ta - gi * tb, gr * tb + gi * ta], axis=0)  # [M, CB]
+        if forb:
+            # direct penalty cotangent at the final state (tau = T)
+            gbar = forb_cotangent(psiT, gbar)
 
         # ---------------- backward chain ----------------
         def bstep(jj, pbar):
@@ -218,6 +275,10 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
                             axis=0) * inv_n
                     pb = pbar + apply_A(wt, pb, matsT_ref) * inv_n
                 wbar[pl.ds(t, 1)] = jnp.stack(wk)[None]
+                if forb:
+                    # direct penalty cotangent at tau = t (the t=0 term only
+                    # feeds the discarded psi0 cotangent — harmless)
+                    pb = forb_cotangent(psi, pb)
                 pbar = pb
             return pbar
 
@@ -240,6 +301,9 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
         do = (1.0 - done)[None, None, :]
         stats_ref[0, :] = loss
         stats_ref[1, :] = g2
+        # reg_loss per seed: fidelity + penalty summed over the seed's V
+        # vector columns + the constant psi0 (tau=0) term
+        stats_ref[2, :] = loss + _group_sum(pen, V) + forb_c0
 
         # -------- Adam (optax semantics), frozen seeds masked --------
         mm = b1 * m_out[:] + (1.0 - b1) * g
@@ -263,12 +327,13 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
 @functools.lru_cache(maxsize=32)
 def _build_call(M, N, V, Kc, E, T, order, n_iters, CB, G,
                 b1, b2, eps, rate, factor,
-                conv_target, min_grad, max_iterations):
+                conv_target, min_grad, max_iterations,
+                forb=(), forb_c0=0.0):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
         _kernel, M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps,
-        rate, factor, conv_target, min_grad, max_iterations)
+        rate, factor, conv_target, min_grad, max_iterations, forb, forb_c0)
     C = G * CB
 
     def cols3(i):
@@ -288,7 +353,7 @@ def _build_call(M, N, V, Kc, E, T, order, n_iters, CB, G,
             jax.ShapeDtypeStruct((T, Kc, C), _F32),
             jax.ShapeDtypeStruct((1, C), _F32),
             jax.ShapeDtypeStruct((1, C), _F32),
-            jax.ShapeDtypeStruct((2, C), _F32),
+            jax.ShapeDtypeStruct((3, C), _F32),
         ),
         in_specs=[
             pl.BlockSpec((K, M, M), lambda i: (0, 0, 0),
@@ -304,7 +369,7 @@ def _build_call(M, N, V, Kc, E, T, order, n_iters, CB, G,
         ],
         out_specs=(
             big, big, big, row, row,
-            pl.BlockSpec((2, CB), cols2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, CB), cols2, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((T + 1, M, CB), _F32),
@@ -339,6 +404,7 @@ class MegaBatchState(NamedTuple):
     iteration: int             # global kernel-iterations driven so far
     losses: Optional[jnp.ndarray]        # [S] after the first segment
     grad_squared: Optional[jnp.ndarray]  # [S]
+    reg_losses: Optional[jnp.ndarray] = None  # [S] loss + penalties
 
 
 def make_mega_batched_runner(
@@ -347,6 +413,7 @@ def make_mega_batched_runner(
     extra_channel_mats: Optional[np.ndarray] = None,
     mesh=None,
     throughput: bool = False,
+    reg_coeffs: Optional[dict] = None,
 ):
     """(init_state, run_n, read_u) — batched Adam segments with PER-SEED
     convergence freezing (parallel/batch.py semantics) in one kernel
@@ -364,9 +431,12 @@ def make_mega_batched_runner(
     engine).  Multi-host pods work the same way after
     ``jax.distributed.initialize``.
     """
+    from ..ops.pallas_mega import forbidden_static
+
     p = problem
-    if not batched_mega_supported(p):
+    if not batched_mega_supported(p, reg_coeffs):
         raise ValueError("problem outside the fused batched-optimizer scope")
+    forb, forb_c0 = forbidden_static(p, reg_coeffs)
     M = 2 * p.state_num
     N = p.state_num
     T = p.steps
@@ -432,7 +502,8 @@ def make_mega_batched_runner(
         call = _build_call(M, N, V, Kc, E, T, order, int(n), CB,
                            C_loc // CB,
                            0.9, 0.999, 1e-8, float(conv.rate), factor,
-                           conv_target, min_grad, max_iterations)
+                           conv_target, min_grad, max_iterations,
+                           forb, forb_c0)
         if mesh is None:
             fn = jax.jit(call)
         else:
@@ -474,6 +545,7 @@ def make_mega_batched_runner(
             u_cols=u, m_cols=m, v_cols=v, it_cols=it, done_cols=done,
             iteration=state.iteration + int(n),
             losses=stats[0, ::V], grad_squared=stats[1, ::V],
+            reg_losses=stats[2, ::V],
         )
 
     def read_u(state: MegaBatchState) -> np.ndarray:

@@ -61,11 +61,102 @@ def test_supported_gates():
     assert mega_supported(_state_problem(), reg_coeffs={"dwdt": 0.01})
     assert not mega_supported(
         _state_problem(), reg_coeffs={"bandpass": 0.1, "band": [0.1, 1.0]})
-    assert not mega_supported(
+    # forbidden-state penalties are in-kernel via the prefix-scan topology
+    assert mega_supported(
         _state_problem(),
         reg_coeffs={"forbidden_coeff_list": [1.0],
                     "states_forbidden_list": [1]})
+    assert not mega_supported(
+        _state_problem(),
+        reg_coeffs={"speed_up": 1.0})
     assert not mega_supported(_state_problem(), gradient_mode="reference")
+
+
+def _leakage_problem(steps=32, state_transfer=True):
+    """3-level ladder with a forbidden leakage level (the reference's
+    hallmark use case, regularization_functions.py:71-85)."""
+    import qoc_tpu as q
+
+    n = 3
+    a = q.annihilate(n)
+    H0 = np.diag([0.0, 1.0, 1.95]) * 2 * np.pi
+    Hx = a + a.conj().T
+    Hy = 1j * (a - a.conj().T)
+    if state_transfer:
+        psi0 = np.zeros(n, complex); psi0[0] = 1
+        tgt = np.zeros(n, complex); tgt[1] = 1
+        return ControlProblem.build(
+            H0, [Hx, Hy], ["x", "y"], [tgt], 3.0, steps, [psi0],
+            state_transfer=True, maxA=[0.5, 0.5], seed=0)
+    return ControlProblem.build(
+        H0, [Hx, Hy], ["x", "y"], q.transmon_gate(q.SIGMA_X, n),
+        3.0, steps, [0, 1], maxA=[0.5, 0.5], seed=0)
+
+
+@pytest.mark.parametrize("state_transfer", [True, False])
+def test_forbidden_cost_in_kernel(state_transfer):
+    """In-kernel forbidden-state penalty (prefix-scan topology) matches the
+    XLA cost registry: value, gradient norm, and optimization trajectory."""
+    problem = _leakage_problem(state_transfer=state_transfer)
+    rc = {"forbidden_coeff_list": [5.0], "states_forbidden_list": [2],
+          "amplitude": 0.1}
+    conv = _conv()
+    assert mega_supported(problem, reg_coeffs=rc)
+
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
+    opt = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, opt)
+    ref = run_seg(init_adam_state(problem.u0_base, opt),
+                  jnp.asarray(20, dtype=jnp.int32))
+
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 20)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=5e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=2e-5)
+    np.testing.assert_allclose(float(ms.grad_squared),
+                               float(ref.grad_squared), rtol=2e-3)
+
+
+def test_forbidden_dressed_in_kernel():
+    """forbid_dressed rotation folded into the static projection rows."""
+    import qoc_tpu as q
+
+    H0 = np.array([[0.0, 0.05, 0.0],
+                   [0.05, 1.0, 0.05],
+                   [0.0, 0.05, 2.2]], dtype=complex)
+    w_c, v_c, dressed_id = q.get_dressed_info(H0)
+    dinfo = {"eigenvectors": v_c, "eigenvalues": np.real(w_c),
+             "dressed_id": dressed_id, "is_dressed": True}
+    a = q.annihilate(3)
+    problem = ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 8.0, 48, [0, 1],
+        dressed_info=dinfo, maxA=[2.0, 2.0], seed=0)
+    rc = {"forbidden_coeff_list": [5.0], "states_forbidden_list": [2],
+          "forbid_dressed": True}
+    conv = _conv()
+    ref = _run_xla_rc(problem, conv, 15, rc)
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 15)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=5e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=2e-5)
+
+
+def _run_xla_rc(problem, conv, n, rc):
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
+    opt = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, opt)
+    return run_seg(init_adam_state(problem.u0_base, opt),
+                   jnp.asarray(n, dtype=jnp.int32))
 
 
 def test_state_transfer_matches_xla_segment_runner():

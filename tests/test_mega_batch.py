@@ -279,3 +279,69 @@ def test_multi_vector_state_transfer():
     for s in range(4):
         after, _ = loss_fn(jnp.asarray(u_opt[s]))
         assert float(after) < float(loss_fn(jnp.asarray(u0[s]))[0])
+
+
+def _leakage_problem(steps=16):
+    n = 3
+    a = q.annihilate(n)
+    H0 = np.diag([0.0, 1.0, 1.95]) * 2 * np.pi
+    psi0 = np.zeros(n, complex); psi0[0] = 1
+    tgt = np.zeros(n, complex); tgt[1] = 1
+    return ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        2.0, steps, [psi0], state_transfer=True, maxA=[0.5, 0.5], seed=0)
+
+
+def test_forbidden_supported_and_matches_xla():
+    """Forbidden-state penalties ride the VMEM trajectory: per-seed
+    trajectories and reg losses match the per-seed XLA segment runner."""
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.optim.adam import init_adam_state, make_segment_runner
+
+    problem = _leakage_problem()
+    rc = {"forbidden_coeff_list": [4.0], "states_forbidden_list": [2]}
+    assert batched_mega_supported(problem, reg_coeffs=rc)
+    assert not batched_mega_supported(
+        problem, reg_coeffs=dict(rc, amplitude=0.1))
+    conv = _conv()
+
+    S = 3
+    u0s = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
+    init_state, run_n, read_u = make_mega_batched_runner(
+        problem, conv, reg_coeffs=rc)
+    st = run_n(init_state(u0s), 12)
+    ub = read_u(st)
+
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
+    opt = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, opt)
+    for s in range(S):
+        ref = run_seg(init_adam_state(u0s[s], opt),
+                      jnp.asarray(12, dtype=jnp.int32))
+        np.testing.assert_allclose(ub[s], np.asarray(ref.u_base), atol=5e-5)
+        np.testing.assert_allclose(float(st.losses[s]), float(ref.loss),
+                                   atol=2e-5)
+        np.testing.assert_allclose(float(st.reg_losses[s]),
+                                   float(ref.reg_loss), atol=2e-5)
+
+
+def test_forbidden_through_batch_layer():
+    """parallel/batch.py auto-routes leakage problems to the fused kernel
+    and reports distinct loss vs reg_loss."""
+    from qoc_tpu.parallel.batch import make_batched_runner
+
+    problem = _leakage_problem()
+    # large coeff so the penalty clears float32 resolution next to a ~1
+    # fidelity loss (the physical populations at these weak drives are 1e-4)
+    rc = {"forbidden_coeff_list": [4e5], "states_forbidden_list": [2]}
+    conv = _conv()
+    init_state, run_segment = make_batched_runner(
+        problem, conv, reg_coeffs=rc, backend="mega")
+    u0s = np.asarray(init_seeds(problem, 2, jax.random.PRNGKey(5)))
+    st = run_segment(init_state(u0s), jnp.asarray(8, dtype=jnp.int32), None)
+    assert int(st.iteration) == 8
+    reg = np.asarray(st.reg_loss)
+    loss = np.asarray(st.loss)
+    assert np.all(np.isfinite(reg)) and np.all(reg >= loss - 1e-7)
+    assert np.any(reg > loss)  # the penalty is actually being charged

@@ -114,3 +114,67 @@ def test_mega_batch_convergence_freezing_on_tpu():
     st = run_n(init_state(u0s), 10)
     np.testing.assert_array_equal(read_u(st), u0s)
     assert np.all(np.asarray(st.it_cols) == 0.0)
+
+
+def test_forbidden_scan_kernel_on_tpu():
+    """The prefix-scan topology (forbidden-state costs in-kernel) on real
+    hardware: pltpu.roll-based Hillis-Steele scan + dense-lane backward."""
+    import numpy as np
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+
+    n = 3
+    a = q.annihilate(n)
+    H0 = np.diag([0.0, 1.0, 1.95]) * 2 * np.pi
+    psi0 = np.zeros(n, complex); psi0[0] = 1
+    tgt = np.zeros(n, complex); tgt[1] = 1
+    problem = ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        3.0, 64, [psi0], state_transfer=True, maxA=[0.5, 0.5], seed=0)
+    rc = {"forbidden_coeff_list": [5.0], "states_forbidden_list": [2],
+          "amplitude": 0.1}
+    conv = _conv()
+    assert mega_supported(problem, rc)
+    ref = _run_xla(problem, conv, 20, reg_coeffs=rc)
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 20)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=8e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=2e-5)
+
+
+def test_forbidden_batched_kernel_on_tpu():
+    """Forbidden-state cotangent injection in the batched chain kernel on
+    real hardware."""
+    import numpy as np
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+
+    n = 3
+    a = q.annihilate(n)
+    H0 = np.diag([0.0, 1.0, 1.95]) * 2 * np.pi
+    psi0 = np.zeros(n, complex); psi0[0] = 1
+    tgt = np.zeros(n, complex); tgt[1] = 1
+    problem = ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        3.0, 64, [psi0], state_transfer=True, maxA=[0.5, 0.5], seed=0)
+    rc = {"forbidden_coeff_list": [4.0], "states_forbidden_list": [2]}
+    conv = _conv()
+    assert batched_mega_supported(problem, rc)
+    rng = np.random.default_rng(3)
+    S = 2
+    u0s = rng.normal(scale=1.0 / np.sqrt(problem.steps),
+                     size=(S, problem.ops_len, problem.steps)
+                     ).astype(np.float32)
+    init_state, run_n, read_u = make_mega_batched_runner(
+        problem, conv, reg_coeffs=rc)
+    st = run_n(init_state(u0s), 12)
+    ub = read_u(st)
+    for s in range(S):
+        ref = _run_xla(problem, conv, 12, reg_coeffs=rc, u0=u0s[s])
+        np.testing.assert_allclose(ub[s], np.asarray(ref.u_base), atol=8e-5)
+        np.testing.assert_allclose(float(st.reg_losses[s]),
+                                   float(ref.reg_loss), atol=2e-5)
