@@ -62,9 +62,10 @@ def _mega_kernel(
     # static
     M, N, T, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
-    a_amp, a_env, a_dwdt, a_d2, inv_dt, forb, forb_c0,
+    a_amp, a_env, a_dwdt, a_d2, inv_dt, forb, forb_c0, a_bp, a_spd, spd_c0,
     # refs: inputs
     mats_ref, psi0_ref, target_ref, maxamp_ref, u0rows_ref, env_ref,
+    dftc_ref, dfts_ref, dftct_ref, dftst_ref,
     u_ref, m_ref, v_ref, sf_ref, si_ref,
     # refs: outputs
     u_out, m_out, v_out, met_out,
@@ -83,6 +84,9 @@ def _mega_kernel(
     )
     lane3 = lax.broadcasted_iota(jnp.int32, (M, M, Tp), 2)
     ta, tb = target[:N, :], target[N:, :]
+    traj_mode = bool(forb) or bool(a_spd)
+    T1f = float(T + 1)
+    HI = lax.Precision.HIGHEST
 
     def _roll(x, shift):
         if _interpret():
@@ -96,7 +100,7 @@ def _mega_kernel(
         sw = jnp.sin(u) * live                # normalized weights sin(base)
         amps = maxamp * sw
         w = jnp.concatenate([ones_row, amps], axis=0)     # [Kc+1, Tp]
-        if forb:
+        if traj_mode:
             # forbidden-state costs read the whole trajectory: the inclusive
             # prefix scan yields every P_t..P_0 (full product at lane T-1)
             X, an, sq, levels = scan_forward_vals(M, order, scaling, mats, w)
@@ -156,6 +160,23 @@ def _mega_kernel(
             gw = gw + (a_d2 * inv_dt * inv_dt) * (
                 s2 - 2.0 * _roll(s2, -1) + _roll(s2, -2)) * live
 
+        # ---- bandpass penalty, in-kernel DFT matmuls (MXU) ----
+        # regularization_functions.py:47-67: alpha * sum_k sum_{f in
+        # out-of-band bins} |FFT_T(sin base)_f|.  The penalized bins are
+        # baked host-side into [Tp, F] cosine/sine matrices (zero rows past
+        # T), so the spectrum is two matmuls and the cotangent two more —
+        # no FFT kernel needed inside Pallas.
+        if a_bp:
+            re_f = jnp.dot(sw, dftc_ref[:], precision=HI)        # [Kc, Fp]
+            im_f = -jnp.dot(sw, dfts_ref[:], precision=HI)
+            mag = jnp.sqrt(re_f * re_f + im_f * im_f)
+            reg = reg + a_bp * jnp.sum(mag)
+            # padded bins have re=im=0; mask their (undefined) subgradient
+            inv = jnp.where(mag > 0.0, 1.0 / jnp.maximum(mag, 1e-30), 0.0)
+            gw = gw + a_bp * (
+                jnp.dot(re_f * inv, dftct_ref[:], precision=HI)
+                - jnp.dot(im_f * inv, dftst_ref[:], precision=HI))
+
         # ---- forbidden-state occupation penalties (in-kernel) ----
         # regularization_functions.py:71-85 semantics: per (coeff, level)
         # pair, l2 over timesteps of the level population, summed over
@@ -191,12 +212,27 @@ def _mega_kernel(
                         rowbars[j] = (
                             add if rowbars[j] is None else rowbars[j] + add)
 
+        # ---- speed_up: reward target overlap at EVERY timestep ----
+        # regularization_functions.py:88-95 + get_inner_product_3D
+        # (tensorflow_state.py:302-321): per-t coherent overlap with the
+        # target over the V vectors, squared, summed over the T+1
+        # trajectory points (the constant psi0 term rides spd_c0).
+        if a_spd:
+            tgt_im = jnp.concatenate([-tb, ta], axis=0)          # [M, V]
+            re_vt = jnp.sum(traj * target[:, :, None], axis=0)   # [V, Tp]
+            im_vt = jnp.sum(traj * tgt_im[:, :, None], axis=0)
+            re_t = jnp.sum(re_vt, axis=0)[None, :]               # [1, Tp]
+            im_t = jnp.sum(im_vt, axis=0)[None, :]
+            ip3 = spd_c0 + jnp.sum(
+                ones_row * (re_t * re_t + im_t * im_t)) * (1.0 / (V * V))
+            reg = reg + a_spd * 0.5 * (T1f - ip3) * (T1f - ip3)
+
         # ---- backward: dL/dE (+ dL/dtraj) -> dL/du ----
         scale2 = -2.0 / (V * V)
         fbar_top = scale2 * (re * ta - im * tb)
         fbar_bot = scale2 * (re * tb + im * ta)
         fbar = jnp.concatenate([fbar_top, fbar_bot], axis=0)   # [M, V]
-        if forb:
+        if traj_mode:
             # fidelity cotangent seeds lane T-1 of the prefix products;
             # forbidden cotangents are dense over lanes
             lane_fvt = lax.broadcasted_iota(jnp.int32, (M, V, Tp), 2)
@@ -206,6 +242,12 @@ def _mega_kernel(
                 for j in range(M)
             ]
             trajbar = jnp.stack(rows, axis=0)
+            if a_spd:
+                S_spd = -a_spd * (T1f - ip3) * (2.0 / (V * V))
+                spd_bar = S_spd * (
+                    re_t[None, :, :] * target[:, :, None]
+                    + im_t[None, :, :] * tgt_im[:, :, None])   # [M, V, Tp]
+                trajbar = trajbar + jnp.where(lane_fvt < T, spd_bar, 0.0)
             Xbar = None
             for v_ in range(V):
                 term = (trajbar[:, v_, :][:, None, :]
@@ -284,11 +326,13 @@ def _build_mega_call(
     M, N, T, Kc, V, order, scaling, n_iters, unitary_mode,
     b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
     a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp, forb, forb_c0,
+    a_bp, a_spd, spd_c0, Fp,
 ):
     kernel = functools.partial(
         _mega_kernel, M, N, T, order, scaling, n_iters, unitary_mode,
         b1, b2, eps, rate_factor, conv_target, min_grad, max_iterations,
         a_amp, a_env, a_dwdt, a_d2, inv_dt, forb, forb_c0,
+        a_bp, a_spd, spd_c0,
     )
     call = pl.pallas_call(
         kernel,
@@ -299,7 +343,7 @@ def _build_mega_call(
             jax.ShapeDtypeStruct((8,), jnp.float32),
         ),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
             + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         ),
         out_specs=(
@@ -307,6 +351,11 @@ def _build_mega_call(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the DFT matrices for the bandpass cost can push the resident
+            # set past the 16 MB scoped default
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )
@@ -316,8 +365,8 @@ def _build_mega_call(
     # ~0.4s per *distinct* program instantiated in a process — eager scalar
     # ops around the kernel would triple the program count).
     @jax.jit
-    def seg(mats, psi0p, target, maxamp, u0rows, env, u, m, v, lr, it,
-            done):
+    def seg(mats, psi0p, target, maxamp, u0rows, env, dftc, dfts, dftct,
+            dftst, u, m, v, lr, it, done):
         sf = jnp.stack([
             lr.astype(jnp.float32),
             it.astype(jnp.float32),
@@ -325,7 +374,8 @@ def _build_mega_call(
         ])
         si = jnp.zeros((1,), dtype=jnp.int32)
         u2, m2, v2, met = call(
-            mats, psi0p, target, maxamp, u0rows, env, u, m, v, sf, si)
+            mats, psi0p, target, maxamp, u0rows, env, dftc, dfts, dftct,
+            dftst, u, m, v, sf, si)
         return (u2, m2, v2, met[3], met[4].astype(jnp.int32),
                 met[0], met[1], met[2], met[5] > 0.5, met[6])
 
@@ -353,7 +403,8 @@ class MegaAdamState(NamedTuple):
     done: jnp.ndarray          # bool
 
 
-_MEGA_COSTS = ("amplitude", "envelope", "dwdt", "d2wdt2")
+_MEGA_COSTS = ("amplitude", "envelope", "dwdt", "d2wdt2", "bandpass", "band",
+               "speed_up")
 _MEGA_FORB_KEYS = ("forbidden_coeff_list", "forbidden",
                    "states_forbidden_list", "forbid_dressed")
 
@@ -404,17 +455,21 @@ def forbidden_static(problem, reg_coeffs):
 
 
 def mega_supported(problem, reg_coeffs=None, gradient_mode="exact") -> bool:
-    """The fused-optimizer path covers the fidelity objective plus the
-    pulse-shape penalties (amplitude/envelope/dwdt/d2wdt2) and the
-    forbidden-state occupation penalties — all computed in-kernel — on
-    problems small enough for the VMEM-resident tree/scan (M_real <= 12).
-    Spectral (bandpass) and speed_up costs fall back to the XLA segment
-    runner."""
-    extra = set(reg_coeffs or {}) - set(_MEGA_COSTS) - set(_MEGA_FORB_KEYS)
-    has_forb = bool(_forbidden_pairs(reg_coeffs))
+    """The fused-optimizer path covers the fidelity objective plus ALL
+    SEVEN reference penalties (regularization_functions.py:7-97) — the
+    pulse-shape costs (amplitude/envelope/dwdt/d2wdt2), the spectral
+    bandpass cost (as in-kernel DFT matmuls over the penalized bins), the
+    forbidden-state occupation penalties, and speed_up — computed in-kernel
+    with analytic gradients, on problems small enough for the VMEM-resident
+    tree/scan (M_real <= 12)."""
+    rc = reg_coeffs or {}
+    extra = set(rc) - set(_MEGA_COSTS) - set(_MEGA_FORB_KEYS)
+    has_traj = bool(_forbidden_pairs(rc)) or ("speed_up" in rc)
     V = problem.initial_vectors.shape[1]
-    if has_forb and (not problem.use_inter_vecs or V > 8):
+    if has_traj and (not problem.use_inter_vecs or V > 8):
         # trajectory buffers [M, V, Tp] ride VMEM next to the scan levels
+        return False
+    if "bandpass" in rc and "band" not in rc:
         return False
     return (
         not extra
@@ -474,6 +529,53 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False,
     env = jnp.asarray(np.pad(
         np.asarray(p.one_minus_gauss, dtype=np.float32),
         ((0, 0), (0, Tp - T))))
+
+    # ---- bandpass statics: penalized-bin DFT matrices ----
+    # regularization_functions.py:59-65 bin selection replicated exactly:
+    # bins [0, band_id0) and [band_id1, steps/2) of the T-point FFT.
+    a_bp = float(rc.get("bandpass", 0.0)) / p.steps
+    if a_bp:
+        band = np.asarray(rc["band"], dtype=float)
+        band_id = (band * float(p.total_time)).astype(int)
+        half_id = int(p.steps / 2)
+        bins = np.concatenate([
+            np.arange(0, max(int(band_id[0]), 0)),
+            np.arange(int(band_id[1]), half_id),
+        ])
+        if bins.size == 0:
+            a_bp = 0.0
+    if a_bp:
+        ang = 2.0 * np.pi * np.arange(T)[:, None] * bins[None, :] / float(T)
+        F = bins.size
+        Fp = max(128, -(-F // 128) * 128)
+        dftc_h = np.zeros((Tp, Fp), np.float32)
+        dfts_h = np.zeros((Tp, Fp), np.float32)
+        dftc_h[:T, :F] = np.cos(ang)
+        dfts_h[:T, :F] = np.sin(ang)
+    else:
+        Fp = 0
+        dftc_h = dfts_h = np.zeros((8, 128), np.float32)
+    dftc = jnp.asarray(dftc_h)
+    dfts = jnp.asarray(dfts_h)
+    dftct = jnp.asarray(np.ascontiguousarray(dftc_h.T))
+    dftst = jnp.asarray(np.ascontiguousarray(dfts_h.T))
+
+    # ---- speed_up statics: the constant t=0 (raw psi0) overlap term ----
+    # inter_vecs[0] is the RAW initial vectors in both modes
+    # (tensorflow_state.py:230-236); its per-timestep contribution to the
+    # 3D inner product is iterate-independent, so it's baked host-side.
+    a_spd = float(rc.get("speed_up", 0.0)) / p.steps
+    if a_spd:
+        iv0 = np.asarray(p.initial_vectors, dtype=np.float64)
+        tv = np.asarray(p.target_vectors, dtype=np.float64)
+        Nc = p.state_num
+        Vv = iv0.shape[1]
+        re0 = float(np.sum(iv0[:Nc] * tv[:Nc]) + np.sum(iv0[Nc:] * tv[Nc:]))
+        im0 = float(np.sum(iv0[Nc:] * tv[:Nc]) - np.sum(iv0[:Nc] * tv[Nc:]))
+        spd_c0 = (re0 * re0 + im0 * im0) / float(Vv * Vv)
+    else:
+        spd_c0 = 0.0
+
     rate_factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
     if throughput:
         conv_target, min_grad, max_iterations = -1.0, -1.0, 2**30
@@ -502,9 +604,11 @@ def make_mega_segment_runner(problem, conv, throughput: bool = False,
             not p.state_transfer, 0.9, 0.999, 1e-8, rate_factor,
             conv_target, min_grad, max_iterations,
             a_amp, a_env, a_dwdt, a_d2, inv_dt, Tp, forb, forb_c0,
+            a_bp, a_spd, spd_c0, Fp,
         )
         u, m_, v_, lr, it, loss, g2, uscale, done, reg_loss = seg(
             mats, psi0p, target, maxamp, u0rows, env,
+            dftc, dfts, dftct, dftst,
             jnp.asarray(state.u_base), jnp.asarray(state.m),
             jnp.asarray(state.v), jnp.asarray(state.lr),
             jnp.asarray(state.iteration), jnp.asarray(state.done),

@@ -59,14 +59,17 @@ def _run_xla(problem, conv, n):
 def test_supported_gates():
     assert mega_supported(_state_problem())
     assert mega_supported(_state_problem(), reg_coeffs={"dwdt": 0.01})
-    assert not mega_supported(
+    # all seven reference costs now run in-kernel
+    assert mega_supported(
         _state_problem(), reg_coeffs={"bandpass": 0.1, "band": [0.1, 1.0]})
+    assert not mega_supported(  # bandpass without its band parameter
+        _state_problem(), reg_coeffs={"bandpass": 0.1})
     # forbidden-state penalties are in-kernel via the prefix-scan topology
     assert mega_supported(
         _state_problem(),
         reg_coeffs={"forbidden_coeff_list": [1.0],
                     "states_forbidden_list": [1]})
-    assert not mega_supported(
+    assert mega_supported(
         _state_problem(),
         reg_coeffs={"speed_up": 1.0})
     assert not mega_supported(_state_problem(), gradient_mode="reference")
@@ -305,6 +308,69 @@ def test_pulse_penalties_in_kernel(rc):
     np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=1e-5)
     np.testing.assert_allclose(float(ms.grad_squared),
                                float(ref.grad_squared), rtol=1e-3)
+
+
+@pytest.mark.parametrize("state_transfer", [True, False])
+def test_speed_up_cost_in_kernel(state_transfer):
+    """In-kernel speed_up (3D inner product over the prefix-scan
+    trajectory) matches the XLA cost registry."""
+    problem = _leakage_problem(state_transfer=state_transfer)
+    rc = {"speed_up": 2.0, "amplitude": 0.05}
+    conv = _conv()
+    assert mega_supported(problem, reg_coeffs=rc)
+    ref = _run_xla_rc(problem, conv, 20, rc)
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 20)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=5e-5)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=2e-5)
+    np.testing.assert_allclose(float(ms.grad_squared),
+                               float(ref.grad_squared), rtol=2e-3)
+
+
+@pytest.mark.parametrize("state_transfer", [True, False])
+def test_bandpass_cost_in_kernel(state_transfer):
+    """In-kernel bandpass (penalized-bin DFT matmuls) matches the XLA
+    FFT-based cost."""
+    problem = (_leakage_problem(steps=40, state_transfer=True)
+               if state_transfer else _leakage_problem(steps=40,
+                                                       state_transfer=False))
+    rc = {"bandpass": 0.5, "band": [0.5, 2.0]}
+    conv = _conv()
+    assert mega_supported(problem, reg_coeffs=rc)
+    ref = _run_xla_rc(problem, conv, 20, rc)
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 20)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=1e-4)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=2e-5)
+
+
+def test_all_seven_costs_in_kernel():
+    """BASELINE config-4 shape: every reference cost active at once, fused
+    path vs XLA registry."""
+    problem = _leakage_problem(steps=40, state_transfer=False)
+    rc = {"amplitude": 0.05, "envelope": 0.02, "dwdt": 0.001,
+          "d2wdt2": 1e-7, "bandpass": 0.2, "band": [0.5, 2.0],
+          "forbidden_coeff_list": [2.0], "states_forbidden_list": [2],
+          "speed_up": 0.5}
+    conv = _conv()
+    assert mega_supported(problem, reg_coeffs=rc)
+    ref = _run_xla_rc(problem, conv, 15, rc)
+    init_state, run_segment, unpad = make_mega_segment_runner(
+        problem, conv, reg_coeffs=rc)
+    ms = run_segment(init_state(problem.u0_base), 15)
+    np.testing.assert_allclose(
+        np.asarray(unpad(ms.u_base)), np.asarray(ref.u_base), atol=1e-4)
+    np.testing.assert_allclose(float(ms.reg_loss), float(ref.reg_loss),
+                               atol=5e-4)
+    np.testing.assert_allclose(float(ms.loss), float(ref.loss), atol=5e-5)
 
 
 def test_pulse_penalties_power_of_two_steps():
