@@ -55,6 +55,8 @@ def load_config(path: str) -> dict:
 
     with open(path) as f:
         cfg = json.load(f)
+    # keys starting with "_" are spec comments/metadata, not Grape kwargs
+    cfg = {k: v for k, v in cfg.items() if not k.startswith("_")}
     base = os.path.dirname(os.path.abspath(path))
     # state-transfer targets/initial states are LISTS of vectors — decode
     # element-wise before the generic array pass touches them
@@ -164,7 +166,7 @@ def main(argv=None) -> int:
     p_ver = sub.add_parser("verify", help="independent-oracle verification")
     p_ver.add_argument("run_file")
     p_ver.add_argument("--atol", type=float, default=1e-4)
-    p_ver.add_argument("--oracle", choices=["scipy", "qutip"],
+    p_ver.add_argument("--oracle", choices=["scipy", "ode", "qutip"],
                        default="scipy")
     p_ver.set_defaults(fn=cmd_verify)
 

@@ -60,9 +60,15 @@ def _dot(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(order: int, mats_ref, w_ref, psi0_ref, out_ref, traj_ref):
+def _fwd_kernel(order: int, scaling: int, mats_ref, w_ref, psi0_ref,
+                out_ref, traj_ref):
     K = mats_ref.shape[0]
     T = w_ref.shape[0]
+    # taylor_scaling s > 0 (unitary mode): exp(A) = Taylor(A/2^s)^(2^s)
+    # (tensorflow_state.py:31,43-44) — each squaring is one more Taylor
+    # application of the pre-scaled generator to the column block
+    reps = 1 << scaling
+    csc = 1.0 / reps
 
     traj_ref[0] = psi0_ref[:]
 
@@ -76,10 +82,13 @@ def _fwd_kernel(order: int, mats_ref, w_ref, psi0_ref, out_ref, traj_ref):
     def step(t, psi):
         w_t = w_ref[pl.ds(t, 1)]  # [1, K, C]
         acc = psi
-        pn = psi
-        for n in range(1, order):
-            pn = apply_A(w_t, pn) * (1.0 / n)
-            acc = acc + pn
+        for _ in range(reps):
+            pn = acc
+            y = acc
+            for n in range(1, order):
+                pn = apply_A(w_t, pn) * (csc / n)
+                y = y + pn
+            acc = y
         traj_ref[pl.ds(t + 1, 1)] = acc[None]
         return acc
 
@@ -103,12 +112,12 @@ def _grid_and_block(C: int):
     return C // COLUMN_BLOCK, COLUMN_BLOCK
 
 
-def _fwd_call(mats, w, psi0, order: int):
+def _fwd_call(mats, w, psi0, order: int, scaling: int = 0):
     T, K, C = w.shape
     M = psi0.shape[0]
     G, CB = _grid_and_block(C)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, order),
+        functools.partial(_fwd_kernel, order, scaling),
         grid=(G,),
         out_shape=(
             jax.ShapeDtypeStruct((M, C), jnp.float32),
@@ -136,10 +145,13 @@ def _fwd_call(mats, w, psi0, order: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(order: int, mats_ref, matsT_ref, w_ref, traj_ref, g_ref,
+def _bwd_kernel(order: int, scaling: int, mats_ref, matsT_ref, w_ref,
+                traj_ref, g_ref,
                 wbar_ref, psibar_ref, p_scratch):
     K = mats_ref.shape[0]
     T = w_ref.shape[0]
+    reps = 1 << scaling
+    csc = 1.0 / reps
 
     def apply_k(k, x):
         return _dot(mats_ref[k], x)
@@ -152,45 +164,65 @@ def _bwd_kernel(order: int, mats_ref, matsT_ref, w_ref, traj_ref, g_ref,
         w_t = w_ref[pl.ds(t, 1)]  # [1, K, C]
         psi = traj_ref[pl.ds(t, 1)][0]  # [M, C]
 
-        # --- replay the forward recurrence, stash p_0..p_{order-1} --------
-        p_scratch[0] = psi
-        pn = psi
-        for n in range(1, order):
-            y = w_t[0, 0, :][None, :] * apply_k(0, pn)
-            for k in range(1, K):
-                y = y + w_t[0, k, :][None, :] * apply_k(k, pn)
-            pn = y * (1.0 / n)
-            p_scratch[n] = pn
+        def taylor_apply(x):
+            pn = x
+            y = x
+            for n in range(1, order):
+                z = w_t[0, 0, :][None, :] * apply_k(0, pn)
+                for k in range(1, K):
+                    z = z + w_t[0, k, :][None, :] * apply_k(k, pn)
+                pn = z * (csc / n)
+                y = y + pn
+            return y
 
-        # --- reverse sweep ------------------------------------------------
-        # out = sum_n p_n;   p_n = (A p_{n-1}) / n
-        # pbar_n = gbar + A^T pbar_{n+1} / (n+1)
-        # Abar  += pbar_n p_{n-1}^T / n  ->  wbar[k] += sum_M(pbar_n * (M_k p_{n-1})) / n
-        pbar = gbar
+        # sub-states y_0..y_{reps-1}: inputs of each Taylor application
+        subs = [psi]
+        for _ in range(reps - 1):
+            subs.append(taylor_apply(subs[-1]))
+
         wk = [jnp.zeros_like(gbar[0])] * K  # per-k [C] accumulators
-        for n in range(order - 1, 0, -1):
-            pm1 = p_scratch[n - 1]
-            inv_n = 1.0 / n
-            for k in range(K):
-                wk[k] = wk[k] + jnp.sum(pbar * apply_k(k, pm1), axis=0) * inv_n
-            # cotangent into p_{n-1}: via A^T, with per-column weights
-            ATpbar = w_t[0, 0, :][None, :] * apply_kT(0, pbar)
-            for k in range(1, K):
-                ATpbar = ATpbar + w_t[0, k, :][None, :] * apply_kT(k, pbar)
-            pbar = gbar + ATpbar * inv_n
+        pb_step = gbar
+        for r in range(reps - 1, -1, -1):
+            # --- replay recurrence of application r, stash p_0..p_{order-1}
+            p_scratch[0] = subs[r]
+            pn = subs[r]
+            for n in range(1, order):
+                y = w_t[0, 0, :][None, :] * apply_k(0, pn)
+                for k in range(1, K):
+                    y = y + w_t[0, k, :][None, :] * apply_k(k, pn)
+                pn = y * (csc / n)
+                p_scratch[n] = pn
+
+            # --- reverse sweep --------------------------------------------
+            # out = sum_n p_n;   p_n = csc * (A p_{n-1}) / n
+            # pbar_n = gbar + csc * A^T pbar_{n+1} / (n+1)
+            # wbar[k] += csc * sum_M(pbar_n * (M_k p_{n-1})) / n
+            pbar = pb_step
+            for n in range(order - 1, 0, -1):
+                pm1 = p_scratch[n - 1]
+                cn = csc / n
+                for k in range(K):
+                    wk[k] = wk[k] + jnp.sum(pbar * apply_k(k, pm1),
+                                            axis=0) * cn
+                # cotangent into p_{n-1}: via A^T, with per-column weights
+                ATpbar = w_t[0, 0, :][None, :] * apply_kT(0, pbar)
+                for k in range(1, K):
+                    ATpbar = ATpbar + w_t[0, k, :][None, :] * apply_kT(k, pbar)
+                pbar = pb_step + ATpbar * cn
+            pb_step = pbar
 
         wbar_ref[pl.ds(t, 1)] = jnp.stack(wk)[None]
-        return pbar
+        return pb_step
 
     psibar_ref[:] = lax.fori_loop(0, T, step, g_ref[:])
 
 
-def _bwd_call(mats, matsT, w, traj, gbar, order: int):
+def _bwd_call(mats, matsT, w, traj, gbar, order: int, scaling: int = 0):
     T, K, C = w.shape
     M = gbar.shape[0]
     G, CB = _grid_and_block(C)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, order),
+        functools.partial(_bwd_kernel, order, scaling),
         grid=(G,),
         out_shape=(
             jax.ShapeDtypeStruct((T, K, C), jnp.float32),
@@ -225,8 +257,8 @@ def _bwd_call(mats, matsT, w, traj, gbar, order: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_state_chain(mats, w, psi0, order: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_state_chain(mats, w, psi0, order: int, scaling: int = 0):
     """Final state of the full propagation chain, fused in one TPU kernel.
 
     Args:
@@ -234,31 +266,35 @@ def fused_state_chain(mats, w, psi0, order: int):
       w:    [T, K, C] per-timestep per-column coefficients (w[:,0,:] = 1).
       psi0: [M, C] initial state block (columns = seeds x vectors).
       order: Taylor order (matvec convention: powers 0..order-1).
+      scaling: squaring count s; each timestep applies the Taylor series of
+        the 2^-s-scaled generator 2^s times (exp(A) = Taylor(A/2^s)^(2^s),
+        tensorflow_state.py:31,43-44) — the unitary-mode convention on
+        propagated columns.
 
     Returns psi_T [M, C].  Differentiable in ``w`` and ``psi0`` (exact
     reverse-mode); ``mats`` is treated as constant (matching the
     reference's zero H_all gradient, tensorflow_state.py:65,133).
     """
-    out, _ = _fwd_call(mats, w, psi0, order)
+    out, _ = _fwd_call(mats, w, psi0, order, scaling)
     return out
 
 
-def _fsc_fwd(mats, w, psi0, order):
-    out, traj = _fwd_call(mats, w, psi0, order)
+def _fsc_fwd(mats, w, psi0, order, scaling):
+    out, traj = _fwd_call(mats, w, psi0, order, scaling)
     return out, (mats, w, traj)
 
 
-def _fsc_bwd(order, res, gbar):
+def _fsc_bwd(order, scaling, res, gbar):
     mats, w, traj = res
     matsT = jnp.swapaxes(mats, -1, -2)
-    wbar, psibar = _bwd_call(mats, matsT, w, traj, gbar, order)
+    wbar, psibar = _bwd_call(mats, matsT, w, traj, gbar, order, scaling)
     return (jnp.zeros_like(mats), wbar, psibar)
 
 
 fused_state_chain.defvjp(_fsc_fwd, _fsc_bwd)
 
 
-def fused_state_chain_with_traj(mats, w, psi0, order: int):
+def fused_state_chain_with_traj(mats, w, psi0, order: int, scaling: int = 0):
     """Forward-only variant also returning the trajectory [T+1, M, C]
     (for analysis / inter-vec readout; not differentiable)."""
-    return _fwd_call(mats, w, psi0, order)
+    return _fwd_call(mats, w, psi0, order, scaling)

@@ -37,13 +37,11 @@ def pallas_batch_supported(problem: ControlProblem,
     """The fused kernel covers problems whose selected costs read only the
     pulse (not intermediate states), with a VMEM-sized weight block.
 
-    State-transfer problems always qualify; unitary problems qualify when
-    ``taylor_scaling == 0`` (pass ``no_scaling=True`` when building the
-    problem) — the gate fidelity only needs ``U_total @ psi0``, which is
-    exactly a column propagation, but per-step matrix squaring cannot be
-    expressed on propagated columns."""
-    if not problem.state_transfer and problem.taylor_scaling != 0:
-        return False
+    State-transfer problems always qualify; unitary problems qualify at
+    any ``taylor_scaling`` — the gate fidelity only needs
+    ``U_total @ psi0``, which is exactly a column propagation, and each
+    squaring runs as one more pre-scaled Taylor application to the
+    columns (exp(A) = Taylor(A/2^s)^(2^s))."""
     if any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS):
         return False
     M = 2 * problem.state_num
@@ -119,11 +117,13 @@ def make_pallas_batched_loss(
         kernel_order = (
             p.taylor_terms if p.state_transfer else p.taylor_terms + 1
         )
+        kernel_scaling = 0 if p.state_transfer else p.taylor_scaling
         out = fused_state_chain(
             mats,
             _pad_columns(w_cols, C, C_pad),
             _pad_columns(psi_cols, C, C_pad),
             kernel_order,
+            kernel_scaling,
         )[:, :C]                                             # [M, S*V]
 
         # coherent fidelity per seed (inner_product_2d semantics)

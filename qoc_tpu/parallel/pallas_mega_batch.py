@@ -22,10 +22,13 @@ serial chains.
 Hamiltonian sweeps ride the same kernel: extra operator channels with
 constant per-seed weights (parallel/pallas_batch.py convention).
 
-Scope (mirrors make_pallas_batched_loss): pure-fidelity objective,
-up to 8 concerned vectors per seed (V columns per seed group, coherent
-inner_product_2D fidelity via in-kernel lane group-sums), state-transfer
-problems or unitary problems with taylor_scaling == 0.
+Scope: pure-fidelity (+ forbidden-state) objectives, up to 8 concerned
+vectors per seed (V columns per seed group, coherent inner_product_2D
+fidelity via in-kernel lane group-sums), state-transfer problems or
+unitary problems at ANY taylor_scaling — each squaring runs as one more
+pre-scaled Taylor application to the state block (exp(A) =
+Taylor(A/2^s)^(2^s), tensorflow_state.py:31,43-44), so multi-seed gate
+sweeps (BASELINE config 2) stay on the fused path.
 """
 
 from __future__ import annotations
@@ -75,8 +78,6 @@ def batched_mega_supported(problem: ControlProblem,
             return False
         if not problem.use_inter_vecs:
             return False
-    if not problem.state_transfer and problem.taylor_scaling != 0:
-        return False
     if problem.initial_vectors.shape[1] > 8:
         return False
     return _pick_column_block(
@@ -86,6 +87,10 @@ def batched_mega_supported(problem: ControlProblem,
 def _roll(x, shift):
     if _interpret():
         return jnp.roll(x, shift, axis=-1)
+    if x.ndim == 1:
+        # Mosaic's rotate has no 1D lowering ("Unsupported 1D shape");
+        # rotate on a [1, C] lane view instead
+        return pltpu.roll(x[None, :], shift=shift % x.shape[-1], axis=1)[0]
     return pltpu.roll(x, shift=shift % x.shape[-1], axis=x.ndim - 1)
 
 
@@ -123,7 +128,8 @@ def _matvec(A, x):
 # ---------------------------------------------------------------------------
 
 
-def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
+def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
+            eps, rate,
             factor, conv_target, min_grad, max_iterations, forb, forb_c0,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
             u_in, m_in, v_in, it_in, done_in,
@@ -154,6 +160,12 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
     psi0 = psi0_ref[:]                           # [M, CB]
     ta, tb = tgt_ref[:N, :], tgt_ref[N:, :]      # [N, CB]
     ln_b1, ln_b2, ln_f = np.log(b1), np.log(b2), np.log(factor)
+    # taylor_scaling s > 0 (unitary mode): exp(A) = Taylor(A/2^s)^(2^s)
+    # (tensorflow_state.py:31,43-44) — on the column layout each squaring
+    # is one more Taylor application of the pre-scaled generator to the
+    # state block; no [M, M] step matrix ever exists.
+    reps = 1 << scaling
+    csc = 1.0 / reps
 
     def apply_A(k_weights, x, mref):
         # A x with A = mats[0] + sum_k wk[k]*mats[1+k] + sum_e ew[e]*mats[..]
@@ -219,10 +231,13 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
             for s in range(unroll):
                 wt = [wts[s, k, :] for k in range(Kc)]
                 acc = psi
-                pn = psi
-                for n in range(1, order):
-                    pn = apply_A(wt, pn, mats_ref) * (1.0 / n)
-                    acc = acc + pn
+                for _ in range(reps):
+                    pn = acc
+                    y = acc
+                    for n in range(1, order):
+                        pn = apply_A(wt, pn, mats_ref) * (csc / n)
+                        y = y + pn
+                    acc = y
                 traj[pl.ds(t0 + s + 1, 1)] = acc[None]
                 if forb:
                     pen = forb_penalty(acc, pen)
@@ -256,30 +271,44 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
                 wt = [wts[s, k, :] for k in range(Kc)]
                 psi = traj[pl.ds(t, 1)][0]
 
-                # replay p_0..p_{order-1}
-                ps = [psi]
-                pn = psi
-                for n in range(1, order):
-                    pn = apply_A(wt, pn, mats_ref) * (1.0 / n)
-                    ps.append(pn)
+                # sub-states y_0..y_{reps-1}: inputs of each of the 2^s
+                # Taylor applications inside this timestep
+                subs = [psi]
+                for _ in range(reps - 1):
+                    pn = subs[-1]
+                    y = subs[-1]
+                    for n in range(1, order):
+                        pn = apply_A(wt, pn, mats_ref) * (csc / n)
+                        y = y + pn
+                    subs.append(y)
 
-                # reverse sweep: wbar[t] for control channels only
-                pb = pbar
+                # reverse sweep through the reps applications:
+                # wbar[t] for control channels only
                 wk = [jnp.zeros_like(pbar[0])] * Kc
-                for n in range(order - 1, 0, -1):
-                    pm1 = ps[n - 1]
-                    inv_n = 1.0 / n
-                    for k in range(Kc):
-                        wk[k] = wk[k] + jnp.sum(
-                            pb * _matvec(mats_ref[1 + k], pm1),
-                            axis=0) * inv_n
-                    pb = pbar + apply_A(wt, pb, matsT_ref) * inv_n
+                pb_step = pbar
+                for r in range(reps - 1, -1, -1):
+                    # replay p_0..p_{order-1} of application r
+                    ps = [subs[r]]
+                    pn = subs[r]
+                    for n in range(1, order):
+                        pn = apply_A(wt, pn, mats_ref) * (csc / n)
+                        ps.append(pn)
+                    pb = pb_step
+                    for n in range(order - 1, 0, -1):
+                        pm1 = ps[n - 1]
+                        cn = csc / n
+                        for k in range(Kc):
+                            wk[k] = wk[k] + jnp.sum(
+                                pb * _matvec(mats_ref[1 + k], pm1),
+                                axis=0) * cn
+                        pb = pb_step + apply_A(wt, pb, matsT_ref) * cn
+                    pb_step = pb
                 wbar[pl.ds(t, 1)] = jnp.stack(wk)[None]
                 if forb:
                     # direct penalty cotangent at tau = t (the t=0 term only
                     # feeds the discarded psi0 cotangent — harmless)
-                    pb = forb_cotangent(psi, pb)
-                pbar = pb
+                    pb_step = forb_cotangent(psi, pb_step)
+                pbar = pb_step
             return pbar
 
         lax.fori_loop(0, T // unroll, bstep, gbar)
@@ -325,14 +354,15 @@ def _kernel(M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps, rate,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(M, N, V, Kc, E, T, order, n_iters, CB, G,
+def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
                 b1, b2, eps, rate, factor,
                 conv_target, min_grad, max_iterations,
                 forb=(), forb_c0=0.0):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
-        _kernel, M, N, V, Kc, E, T, order, n_iters, unroll, b1, b2, eps,
+        _kernel, M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
+        eps,
         rate, factor, conv_target, min_grad, max_iterations, forb, forb_c0)
     C = G * CB
 
@@ -457,6 +487,7 @@ def make_mega_batched_runner(
     maxamp = jnp.asarray(
         np.asarray(p.ops_max_amp, dtype=np.float32).reshape(Kc, 1))
     order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
+    scaling = 0 if p.state_transfer else p.taylor_scaling
     factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
     if throughput:
         conv_target, min_grad, max_iterations = -1.0, -1.0, float(2 ** 30)
@@ -499,7 +530,7 @@ def make_mega_batched_runner(
             raise ValueError(
                 f"per-device column count {C_loc} must be a multiple of "
                 f"{CB} (pad the seed axis)")
-        call = _build_call(M, N, V, Kc, E, T, order, int(n), CB,
+        call = _build_call(M, N, V, Kc, E, T, order, scaling, int(n), CB,
                            C_loc // CB,
                            0.9, 0.999, 1e-8, float(conv.rate), factor,
                            conv_target, min_grad, max_iterations,

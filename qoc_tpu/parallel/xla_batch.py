@@ -10,10 +10,11 @@ axis instead (the pallas_chain layout, in pure XLA): the state block is
 no per-seed matrices ever exist.  Measured at dim 200 (qubit x 100-level
 cavity, 200 steps, 64 seeds, TPU v5lite): 4.6x the vmapped path.
 
-Same scope and interface as parallel/pallas_batch.py (V = 1, state
-transfer or no-scaling unitary, pulse-only penalties, constant-weight
-extra sweep channels); used by make_batched_runner as the large-dim
-backend where the fused kernels don't fit in VMEM.
+Scope: V = 1, state transfer or unitary mode (any taylor_scaling —
+squarings run as repeated pre-scaled Taylor applications to the state
+block, so no per-seed matrices exist), pulse-only penalties,
+constant-weight extra sweep channels.  Used by make_batched_runner as
+the large-dim backend where the fused kernels don't fit in VMEM.
 """
 
 from __future__ import annotations
@@ -34,8 +35,6 @@ HI = lax.Precision.HIGHEST
 
 def xla_cols_supported(problem: ControlProblem,
                        reg_coeffs: Optional[dict]) -> bool:
-    if not problem.state_transfer and problem.taylor_scaling != 0:
-        return False
     if problem.initial_vectors.shape[1] != 1:
         return False
     return not any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS)
@@ -69,8 +68,15 @@ def make_xla_batched_loss(
     N = p.state_num
     T = p.steps
     # matvec truncation (powers 0..order-1) for state transfer; unitary
-    # no-scaling keeps powers 0..taylor_terms (pallas_batch convention)
+    # mode keeps powers 0..taylor_terms (pallas_batch convention).  With
+    # taylor_scaling s > 0, exp(A) = Taylor(A/2^s)^(2^s)
+    # (tensorflow_state.py:31,43-44): on the column layout the step is
+    # 2^s repeated Taylor applications of the pre-scaled generator to the
+    # state block — the matrix squarings never materialize.
     order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
+    scaling = 0 if p.state_transfer else p.taylor_scaling
+    reps = 1 << scaling
+    csc = 1.0 / reps
 
     def batched_loss(u_bases: jnp.ndarray,
                      extra_weights: Optional[jnp.ndarray] = None):
@@ -86,17 +92,19 @@ def make_xla_batched_loss(
         w_t = jnp.transpose(w, (2, 1, 0))                      # [T, K', S]
 
         def step(psi, wt):                                     # psi [M, S]
-            acc = psi
-            pn = psi
-            for n in range(1, order):
-                y = None
-                for k in range(Kp):
-                    term = jnp.matmul(mats[k], pn, precision=HI) \
-                        * wt[k][None, :]
-                    y = term if y is None else y + term
-                pn = y * (1.0 / n)
-                acc = acc + pn
-            return acc, None
+            for _ in range(reps):
+                acc = psi
+                pn = psi
+                for n in range(1, order):
+                    y = None
+                    for k in range(Kp):
+                        term = jnp.matmul(mats[k], pn, precision=HI) \
+                            * wt[k][None, :]
+                        y = term if y is None else y + term
+                    pn = y * (csc / n)
+                    acc = acc + pn
+                psi = acc
+            return psi, None
 
         body = jax.checkpoint(step) if remat else step
         final, _ = lax.scan(body, jnp.tile(psi0, (1, S)), w_t)

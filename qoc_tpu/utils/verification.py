@@ -2,16 +2,21 @@
 
 Plays the role of helper_functions/qutip_verification.py:5-86: re-simulate
 the optimized pulses stored in a run file with an *independent* integrator
-and compare the stored intermediate states.  Two oracles:
+and compare the stored intermediate states.  Three oracles:
 
   * ``scipy`` (always available): dense piecewise-constant propagation with
     ``scipy.linalg.expm`` in float64 — a different algorithm (Pade) and a
     different precision from the on-device Taylor kernel.
-  * ``qutip`` (if importable): ``qt.sesolve`` ODE integration, byte-for-byte
-    the reference's own oracle construction (piecewise-constant uk lookup,
-    qutip_verification.py:51-64).
+  * ``ode`` (always available): adaptive Runge-Kutta integration of the
+    Schroedinger equation (scipy ``solve_ivp``, DOP853) with the
+    reference's piecewise-constant ``uks[int(t/dt)]`` Hamiltonian lookup
+    (qutip_verification.py:51-64) — the same algorithm CLASS as the
+    reference's ``qt.sesolve`` oracle, with no qutip dependency.
+  * ``qutip``: ``qt.sesolve`` itself, byte-for-byte the reference's oracle
+    construction.  qutip is NOT installed in this environment, so this
+    branch only runs where the user has it; ``ode`` is the tested stand-in.
 
-Both read the identical h5 schema the reference writes (H0, Hops,
+All read the identical h5 schema the reference writes (H0, Hops,
 total_time, steps, uks[-1], inter_vecs_raw_{real,imag}[-1],
 initial_vectors_c).
 """
@@ -68,6 +73,8 @@ def verify_run(datafile: str, atol: float = 1e-4, oracle: str = "scipy"):
         psi0 = init_vecs[vid]
         if oracle == "qutip":
             states = _qutip_states(H0, Hops, uks, gate_time, steps, psi0)
+        elif oracle == "ode":
+            states = ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0)
         else:
             states = scipy_oracle_states(H0, Hops, uks, gate_time, steps, psi0)
         stored = inter_vecs[vid]  # [N, steps+1]
@@ -75,6 +82,38 @@ def verify_run(datafile: str, atol: float = 1e-4, oracle: str = "scipy"):
         max_abs_diff_list.append(float(np.max(np.abs(abs_diff))))
         all_close_list.append(bool(np.allclose(states, stored, atol=atol)))
     return {"max_abs_diff": max_abs_diff_list, "all_close": all_close_list}
+
+
+def ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0_c,
+                      rtol=1e-9, atol=1e-11):
+    """Adaptive ODE integration of i dpsi/dt = H(t) psi — the reference
+    oracle's algorithm class (qt.sesolve is an adaptive ODE solver) built
+    on scipy's DOP853, with the reference's piecewise-constant Hamiltonian
+    lookup ``uks[k][int(t/dt)]`` (qutip_verification.py:51-64).  max_step
+    = dt keeps the integrator from stepping across pulse discontinuities.
+    """
+    from scipy.integrate import solve_ivp
+
+    dt = gate_time / steps
+    uks_pad = np.hstack([np.asarray(uks, dtype=float),
+                         np.zeros((np.shape(uks)[0], 1))])
+    H0c = np.asarray(H0, dtype=complex)
+    Hkc = [np.asarray(h, dtype=complex) for h in Hops]
+
+    def rhs(t, y):
+        idx = min(int(t / dt), steps)
+        H = H0c
+        for k, Hk in enumerate(Hkc):
+            H = H + uks_pad[k][idx] * Hk
+        return -1j * (H @ y)
+
+    tlist = np.linspace(0.0, gate_time, steps + 1)
+    sol = solve_ivp(rhs, (0.0, gate_time),
+                    np.asarray(psi0_c, dtype=complex), method="DOP853",
+                    t_eval=tlist, rtol=rtol, atol=atol, max_step=dt)
+    if not sol.success:
+        raise RuntimeError(f"ODE oracle failed: {sol.message}")
+    return sol.y  # [N, steps+1]
 
 
 def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c):
@@ -102,13 +141,14 @@ def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c):
 
 def qutip_verification(datafile: str, atol: float):
     """Reference-compatible entry point (qutip_verification.py:5); falls
-    back to the scipy oracle when qutip is unavailable."""
+    back to the ``ode`` oracle (same adaptive-ODE algorithm class as
+    sesolve) when qutip is unavailable — which it is in this environment."""
     try:
         import qutip  # noqa: F401
 
         oracle = "qutip"
     except ImportError:
-        oracle = "scipy"
+        oracle = "ode"
     result = verify_run(datafile, atol=atol, oracle=oracle)
     print("simulation verification result for each initial state (%s oracle)"
           % oracle)

@@ -260,7 +260,8 @@ def test_dressed_forbidden_e2e():
 
 def test_qutip_verification_entry(tmp_path, capsys):
     """The reference-compatible qutip_verification() entry point (falls back
-    to the scipy oracle when qutip is missing)."""
+    to the adaptive-ODE oracle — sesolve's algorithm class — when qutip is
+    missing, which it is here), plus the explicit 'ode' oracle path."""
     res = q.Grape(
         H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
         [np.array([0, 1], dtype=complex)], 10.0, 60,
@@ -271,10 +272,35 @@ def test_qutip_verification_entry(tmp_path, capsys):
                      "max_iterations": 200, "conv_target": 1e-4},
         maxA=[0.7, 0.7], seed=0, method="Adam",
     )
-    from qoc_tpu.utils.verification import qutip_verification
+    from qoc_tpu.utils.verification import qutip_verification, verify_run
 
     out = qutip_verification(res.file_path, atol=1e-3)
     assert all(out["all_close"])
+    captured = capsys.readouterr().out
+    assert "ode oracle" in captured  # the fallback actually executed
+
+    out_ode = verify_run(res.file_path, atol=1e-3, oracle="ode")
+    assert all(out_ode["all_close"])
+
+
+def test_ode_oracle_matches_expm_oracle():
+    """The adaptive-ODE oracle and the float64 expm oracle agree to
+    integrator tolerance on a random piecewise-constant pulse — two
+    independent algorithms validating each other."""
+    from qoc_tpu.utils.verification import (
+        ode_oracle_states, scipy_oracle_states)
+
+    rng = np.random.default_rng(3)
+    T, lv = 24, 3
+    a = np.diag(np.sqrt(np.arange(1, lv)), 1)
+    H0 = np.diag([0.0, 1.0, 1.9])
+    Hops = [a + a.conj().T, 1j * (a - a.conj().T)]
+    uks = rng.normal(scale=0.4, size=(2, T))
+    psi0 = np.zeros(lv, complex)
+    psi0[0] = 1
+    s_expm = scipy_oracle_states(H0, Hops, uks, 4.0, T, psi0)
+    s_ode = ode_oracle_states(H0, Hops, uks, 4.0, T, psi0)
+    np.testing.assert_allclose(s_ode, s_expm, atol=1e-7)
 
 
 def test_remat_through_grape():

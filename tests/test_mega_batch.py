@@ -252,6 +252,49 @@ def test_multi_vector_unitary_group_fidelity():
     np.testing.assert_allclose(out["uks"], ref["uks"], atol=1e-3)
 
 
+def test_unitary_with_scaling_batched():
+    """CNOT-class sweep WITH taylor_scaling > 0 (BASELINE config 2): the
+    squaring branch runs as repeated pre-scaled Taylor applications on the
+    column layout; losses and trajectories match the per-seed forward."""
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.parallel.batch import batched_grape_adam
+
+    CNOT = np.eye(4, dtype=complex)
+    CNOT[2:, 2:] = [[0, 1], [1, 0]]
+    XI = np.kron(q.SIGMA_X, np.eye(2))
+    IX = np.kron(np.eye(2), q.SIGMA_X)
+    ZZ = np.kron(q.SIGMA_Z, q.SIGMA_Z)
+    problem = ControlProblem.build(
+        np.zeros((4, 4), dtype=complex), [XI, IX, ZZ],
+        ["xi", "ix", "zz"], CNOT, 4.0, 12, [0, 1, 2, 3],
+        maxA=[1.0] * 3, seed=0, Taylor_terms=[8, 2],
+    )
+    assert problem.taylor_scaling == 2
+    assert batched_mega_supported(problem)
+    conv = _conv()
+    S = 4
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(7)))
+
+    init_state, run_n, read_u = make_mega_batched_runner(problem, conv)
+    st = run_n(init_state(u0), 1)
+    _, loss_fn = make_forward(problem, lean=True, engine="scan")
+    for s in range(S):
+        want, _ = loss_fn(jnp.asarray(u0[s]))
+        np.testing.assert_allclose(
+            float(np.asarray(st.losses)[s]), float(want), atol=1e-5)
+
+    conv_d = {"rate": 0.05, "update_step": 15, "max_iterations": 45,
+              "conv_target": 1e-6}
+    out = batched_grape_adam(problem, n_seeds=S, convergence=conv_d,
+                             seed=0, backend="mega")
+    ref = batched_grape_adam(problem, n_seeds=S, convergence=conv_d,
+                             seed=0, backend="xla")
+    np.testing.assert_allclose(out["losses"], ref["losses"], atol=1e-4)
+    # 2^s extra float32 reassociations per step amplify over 45 iterations;
+    # single-iteration parity is the 1e-5 check above
+    np.testing.assert_allclose(out["uks"], ref["uks"], atol=5e-3)
+
+
 def test_multi_vector_state_transfer():
     """V=2 stacked state-transfer targets: coherent group fidelity."""
     from qoc_tpu.models.forward import make_forward

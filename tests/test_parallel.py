@@ -192,7 +192,9 @@ def test_pallas_backend_unitary_mode():
     assert np.allclose(np.asarray(g_p), g_x, atol=1e-4)
 
 
-def test_pallas_unitary_scaling_unsupported():
+def test_pallas_unitary_scaling_supported():
+    """Unitary problems with taylor_scaling > 0 ride the fused chain since
+    round 3 (squarings as repeated pre-scaled Taylor applications)."""
     from qoc_tpu.models.system import ControlProblem
     from qoc_tpu.parallel.pallas_batch import pallas_batch_supported
 
@@ -201,7 +203,8 @@ def test_pallas_unitary_scaling_unsupported():
         q.hadamard(1), 6.0, 30, [0, 1], maxA=[1.0], seed=0,
         Taylor_terms=[6, 2],
     )
-    assert not pallas_batch_supported(p, None)
+    assert p.taylor_scaling == 2
+    assert pallas_batch_supported(p, None)
 
 
 def test_batched_grape_extra_channels_sweep():

@@ -71,6 +71,40 @@ def test_matches_pallas_loss_with_extras_and_reg():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=2e-5)
 
 
+def test_unitary_with_scaling_cols():
+    """V=1 unitary problem with taylor_scaling > 0: the column backends
+    (xla-cols and the fused chain kernel) match the per-seed forward's
+    loss AND gradient — the squaring branch on propagated columns."""
+    a = q.annihilate(3)
+    problem = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, 12, [0],
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+    )
+    assert problem.taylor_scaling == 2
+    assert xla_cols_supported(problem, None)
+    from qoc_tpu.parallel.pallas_batch import pallas_batch_supported
+    assert pallas_batch_supported(problem, None)
+
+    S = 3
+    u = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(2)))
+    _, loss_fn = make_forward(problem, lean=True, engine="scan")
+
+    for make in (make_xla_batched_loss, make_pallas_batched_loss):
+        batched = make(problem)
+        reg_l, fid_l = batched(jnp.asarray(u))
+        for s in range(S):
+            want, _ = loss_fn(jnp.asarray(u[s]))
+            np.testing.assert_allclose(float(fid_l[s]), float(want),
+                                       atol=1e-5)
+        gb = jax.grad(lambda x: jnp.sum(batched(x)[0]))(jnp.asarray(u))
+        for s in range(S):
+            gs = jax.grad(lambda x: loss_fn(x)[0])(jnp.asarray(u[s]))
+            np.testing.assert_allclose(np.asarray(gb[s]), np.asarray(gs),
+                                       atol=2e-5)
+
+
 def test_batched_grape_adam_xla_cols_backend():
     problem = _problem(levels=3, steps=10)
     out = batched_grape_adam(

@@ -1,0 +1,252 @@
+"""MFU / roofline accounting for the benchmark configs (PERF.md section).
+
+For each config: count matmul FLOPs from first principles (the exact op
+sequence the engine ladder emits), measure the achieved iteration rate on
+the device, and report achieved FLOP/s against BOTH ceilings of a TPU
+v5lite chip:
+
+  * compute ceiling at HIGHEST precision: bf16 MXU peak / 6 passes
+    (~197/6 = 32.8 TFLOP/s) — every propagator matmul runs 6-pass f32
+    (PERF.md: HIGH drifts unitarity past the 1e-4 budget);
+  * HBM roofline: arithmetic intensity x 819 GB/s — batched [M,M]@[M,M]
+    matmuls at M=128 carry only ~21 flops/byte, so the bandwidth ceiling
+    sits BELOW the compute ceiling until M ~ 256.
+
+Optionally captures a jax.profiler trace and reports the top device ops
+by self time (``--trace``).
+
+Usage:  python tools/roofline.py [--trace /tmp/qoc_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# TPU v5lite (v5e) single-chip ceilings
+BF16_PEAK = 197e12            # FLOP/s
+F32_HIGHEST_PEAK = BF16_PEAK / 6.0   # 6-pass f32
+HBM_BW = 819e9                # bytes/s
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP counts (2 flops per MAC)
+# ---------------------------------------------------------------------------
+
+
+def flops_dim64_iter(T=200, M=128, K=5, order=8, scaling=2):
+    """Unitary-mode lean iteration at dim 64 (bench.dim64_iters_per_sec).
+
+    Forward: weighted_hamiltonians ([T,K]x[K,M^2] einsum), taylor_expm
+    ((order-1) batched matmuls + `scaling` squarings over [T,M,M]),
+    chain_product_tree (~T-1 matmuls).  Backward: reverse-mode of a matmul
+    = 2 matmuls -> 2x the forward matmul flops.  Adam update negligible.
+    """
+    wh = 2 * T * K * M * M
+    expm = 2 * ((order - 1) + scaling) * T * M ** 3
+    tree = 2 * (T - 1) * M ** 3
+    fwd = wh + expm + tree
+    return 3 * fwd  # fwd + bwd(2x)
+
+
+def hbm_bytes_dim64_iter(T=200, M=128, order=8, scaling=2):
+    """Minimum HBM traffic if XLA materializes each [T,M,M] matmul's
+    operands/result in HBM (the observed XLA schedule): 3 arrays per
+    matmul, 4 bytes each, fwd + 2x bwd."""
+    n_mm = (order - 1) + scaling + 1  # expm + tree per T element
+    per_mm = 3 * 4 * M * M
+    return 3 * n_mm * T * per_mm
+
+
+def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
+    """Column-batched state-transfer iteration (bench.dim200_sweep...).
+    Per Taylor term per step: Kp shared-generator [M,M]@[M,S] matmuls.
+    Remat backward: forward + recompute + 2x-cost reverse = 4x forward."""
+    if order is None:
+        order = _dim200_order()
+    fwd = 2 * T * (order - 1) * Kp * M * M * S
+    return 4 * fwd
+
+
+def _dim200_order():
+    from qoc_tpu.models.system import ControlProblem
+
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(200, complex)
+    psi0[0] = 1
+    tgt = np.zeros(200, complex)
+    tgt[100] = 1
+    p = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0)
+    return p.taylor_terms
+
+
+def flops_pi_pulse_iter(T=1000, M=4, K=3, order=3):
+    """Fused mega-kernel iteration (M=4 real iso): the whole chain is
+    lane-axis FMAs, not MXU matmuls — VPU work.  Counted for completeness;
+    the regime is latency-bound, MFU is not the governing metric."""
+    # forward tree: ~2*Tp levels of [M,M,Tp] FMA products + Taylor terms
+    Tp = 1024
+    taylor = 2 * order * K * M * M * Tp
+    tree = 2 * 2 * M * M * M * Tp  # rolling products over levels ~2x
+    return 3 * (taylor + tree)
+
+
+# ---------------------------------------------------------------------------
+# measurements (reuse bench.py windows)
+# ---------------------------------------------------------------------------
+
+
+def measure():
+    import jax
+    import bench
+
+    dev = jax.devices()[0]
+    out = {}
+    d64, d64_spread, _ = bench.dim64_iters_per_sec(dev)
+    out["dim64"] = {"iters_per_sec": d64, "spread": d64_spread}
+    d200, d200_spread, _ = bench.dim200_sweep_iters_per_sec()
+    out["dim200"] = {"seed_iters_per_sec": d200, "spread": d200_spread}
+    pi, pi_spread, _ = bench.iters_per_sec_mega()
+    out["pi_pulse"] = {"iters_per_sec": pi, "spread": pi_spread}
+    return out
+
+
+def trace_dim64(log_dir: str, n_iters: int = 30):
+    """Capture a profiler trace of the dim-64 iteration loop."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from qoc_tpu.utils.profiling import trace
+
+    # rebuild exactly bench.dim64's problem/runner, trace the hot window
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    N = 64
+    rng = np.random.default_rng(0)
+
+    def herm(n):
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        return (A + A.conj().T) / 20
+
+    H0 = np.diag(np.arange(N)).astype(complex) * 0.1
+    Hops = [herm(N) for _ in range(4)]
+    U = np.eye(N, dtype=complex)
+    U[:2, :2] = [[0, 1], [1, 0]]
+    problem = ControlProblem.build(
+        H0, Hops, ["a", "b", "c", "d"], U, 10.0, 200, [0, 1, 2, 3],
+        maxA=[1.0] * 4, seed=0, Taylor_terms=[8, 2])
+    conv = bench._conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="auto")
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jnp.asarray(problem.u0_base)
+    os0 = optimizer.init(u)
+    _sync(run_n(u, os0, 3)[0])  # compile
+    with trace(log_dir):
+        _sync(run_n(u, os0, n_iters)[0])
+    return summarize_trace(log_dir)
+
+
+def summarize_trace(log_dir: str, top: int = 12):
+    """Aggregate device-op self time from the profiler's trace.json.gz."""
+    paths = glob.glob(os.path.join(
+        log_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # keep device-track complete events (phase X with dur)
+    by_name = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "?")
+        by_name.setdefault(name, [0.0, 0])
+        by_name[name][0] += e["dur"]
+        by_name[name][1] += 1
+    total = sum(v[0] for v in by_name.values())
+    rows = sorted(by_name.items(), key=lambda kv: -kv[1][0])[:top]
+    return {"total_us": total,
+            "top": [{"name": k[:80], "us": round(v[0], 1), "count": v[1],
+                     "pct": round(100 * v[0] / total, 1)}
+                    for k, v in rows]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None,
+                    help="directory for a dim-64 profiler trace")
+    args = ap.parse_args()
+
+    m = measure()
+    f64 = flops_dim64_iter()
+    f200 = flops_dim200_iter()
+    fpi = flops_pi_pulse_iter()
+
+    d64_rate = m["dim64"]["iters_per_sec"] * f64
+    d200_rate = m["dim200"]["seed_iters_per_sec"] * f200 / 64  # per cfg: /S then *S cancels
+    # dim200 measure is seed-iters/s; flops_dim200_iter covers ALL 64 seeds
+    d200_rate = m["dim200"]["seed_iters_per_sec"] / 64 * f200
+    pi_rate = m["pi_pulse"]["iters_per_sec"] * fpi
+
+    ai64 = f64 / hbm_bytes_dim64_iter()
+    hbm_ceiling_64 = ai64 * HBM_BW
+
+    report = {
+        "ceilings": {"f32_highest_tflops": round(F32_HIGHEST_PEAK / 1e12, 1),
+                     "hbm_gb_s": round(HBM_BW / 1e9), },
+        "dim64": {
+            **{k: round(v, 2) for k, v in m["dim64"].items()},
+            "flops_per_iter_g": round(f64 / 1e9, 2),
+            "achieved_tflops": round(d64_rate / 1e12, 2),
+            "mfu_vs_f32_ceiling_pct": round(100 * d64_rate / F32_HIGHEST_PEAK, 1),
+            "arithmetic_intensity_flops_per_byte": round(ai64, 1),
+            "hbm_roofline_tflops": round(hbm_ceiling_64 / 1e12, 2),
+            "pct_of_hbm_roofline": round(100 * d64_rate / hbm_ceiling_64, 1),
+        },
+        "dim200": {
+            **{k: round(v, 2) for k, v in m["dim200"].items()},
+            "flops_per_64seed_iter_g": round(f200 / 1e9, 2),
+            "achieved_tflops": round(d200_rate / 1e12, 2),
+            "mfu_vs_f32_ceiling_pct": round(100 * d200_rate / F32_HIGHEST_PEAK, 1),
+        },
+        "pi_pulse": {
+            **{k: round(v, 2) for k, v in m["pi_pulse"].items()},
+            "flops_per_iter_m": round(fpi / 1e6, 2),
+            "achieved_gflops": round(pi_rate / 1e9, 2),
+            "note": "M=4: VPU/latency-bound fused kernel, not an MXU regime",
+        },
+    }
+    if args.trace:
+        report["dim64_trace"] = trace_dim64(args.trace)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
