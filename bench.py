@@ -22,6 +22,12 @@ the headline value and the relative spread (max-min)/median per metric
 under "windows".  A load statement (competing processes + 1-min loadavg)
 is recorded before timing — concurrent TPU clients serialize through the
 axon tunnel and produce 5-50x swings that are NOT regressions.
+
+Window sizes are chosen so the per-launch host->tunnel->device dispatch
+(~46 ms measured, tools/scaling_evidence.py --dispatch; ~0.1-0.5 ms on a
+locally attached chip) stays under ~10% of each window — the metric is
+device throughput, not tunnel latency.  n_iters per launch is recorded
+implicitly by the function defaults below.
 """
 
 import json
@@ -140,7 +146,7 @@ def iters_per_sec_mega(n_iters=30000):
     return _measure(lambda: _sync(run_segment(ms, n_iters).u_base), n_iters)
 
 
-def batched_iters_per_sec_mega(n_seeds=1024, n_iters=100):
+def batched_iters_per_sec_mega(n_seeds=1024, n_iters=400):
     """Aggregate (seeds x iterations)/sec through the fused batched
     OPTIMIZER kernel (parallel/pallas_mega_batch.py): every seed's whole
     Adam segment runs in one kernel launch."""
@@ -304,7 +310,7 @@ def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
                     n_seeds * n_iters)
 
 
-def dim64_iters_per_sec(device, n_iters=30):
+def dim64_iters_per_sec(device, n_iters=240):
     """Unitary-mode GRAPE at Hilbert dim 64 (transmon-cavity scale,
     BASELINE config 4) — the regime where per-step matmuls are real MXU
     work.  [200 steps, 4 controls, Taylor order 8, 2 squarings]."""
@@ -340,7 +346,7 @@ def dim64_iters_per_sec(device, n_iters=30):
     return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
 
 
-def dim200_sweep_iters_per_sec(n_seeds=64, n_iters=10):
+def dim200_sweep_iters_per_sec(n_seeds=64, n_iters=50):
     """BASELINE config 5 scale: qubit x 100-level cavity (Hilbert dim 200),
     200 steps, seed batch through the column-batched XLA chain
     (parallel/xla_batch.py) — the large-dim MXU regime."""

@@ -246,6 +246,17 @@ def Grape(
                 % (loss, time.time() - start_time, iteration, g2, uscale)
             )
 
+    def next_stop(it: int) -> int:
+        """Next segment boundary: the update_step grid AND (when saving)
+        the evol_save_step grid, so evol_save_step < update_step keeps its
+        exact cadence (run_session.py:84-91 saves inside the iteration
+        loop; here segments are chunked to land on every save point)."""
+        nxt = (it // conv.update_step + 1) * conv.update_step
+        es = conv.evol_save_step
+        if save and es > 0:
+            nxt = min(nxt, (it // es + 1) * es)
+        return min(nxt, conv.max_iterations + 1)
+
     start_time = time.time()
     nfev = None
 
@@ -316,26 +327,31 @@ def Grape(
         try:
             while True:
                 it = int(state.iteration)
-                stop_at = min(it + conv.update_step, conv.max_iterations + 1)
+                stop_at = next_stop(it)
                 if use_mega:
                     state = run_mega(state, stop_at - it)
                 else:
                     state = run_segment(
                         state, jnp.asarray(stop_at, dtype=jnp.int32))
-                save_step(
-                    int(state.iteration), float(state.loss),
-                    float(state.reg_loss), float(state.grad_squared),
-                    float(state.unitary_scale), host_u(state),
-                    start_time,
-                    lr=conv.learning_rate(int(state.iteration)),
-                )
-                if save:
-                    from .utils.checkpoint import save_checkpoint
+                it_now = int(state.iteration)
+                done = bool(state.done)
+                if it_now % conv.update_step == 0 or done:
+                    save_step(
+                        it_now, float(state.loss),
+                        float(state.reg_loss), float(state.grad_squared),
+                        float(state.unitary_scale), host_u(state),
+                        start_time,
+                        lr=conv.learning_rate(it_now),
+                    )
+                    if save:
+                        from .utils.checkpoint import save_checkpoint
 
-                    ck_u, ck_opt = ckpt_tuple(state)
-                    save_checkpoint(file_path, ck_u, ck_opt,
-                                    int(state.iteration))
-                if bool(state.done):
+                        ck_u, ck_opt = ckpt_tuple(state)
+                        save_checkpoint(file_path, ck_u, ck_opt, it_now)
+                else:
+                    # evol-grid-only boundary: snapshot without a metrics row
+                    maybe_save_evolution(it_now, host_u(state))
+                if done:
                     break
         except KeyboardInterrupt:
             # graceful interrupt (grape.py:130-139): persist wall clock and
@@ -372,15 +388,20 @@ def Grape(
         state = init_state(problem.u0_base)
         while True:
             it = int(state.iteration)
-            stop_at = min(it + conv.update_step, conv.max_iterations + 1)
+            stop_at = next_stop(it)
             state = run_segment(state, jnp.asarray(stop_at, dtype=jnp.int32))
-            save_step(
-                int(state.iteration), float(state.loss),
-                float(state.reg_loss), float(state.grad_squared),
-                float(state.unitary_scale), np.asarray(state.u_base),
-                start_time,
-            )
-            if bool(state.done):
+            it_now = int(state.iteration)
+            done = bool(state.done)
+            if it_now % conv.update_step == 0 or done:
+                save_step(
+                    it_now, float(state.loss),
+                    float(state.reg_loss), float(state.grad_squared),
+                    float(state.unitary_scale), np.asarray(state.u_base),
+                    start_time,
+                )
+            else:
+                maybe_save_evolution(it_now, np.asarray(state.u_base))
+            if done:
                 break
         u_base = np.asarray(state.u_base)
         loss, reg_loss = float(state.loss), float(state.reg_loss)

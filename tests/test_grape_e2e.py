@@ -366,6 +366,33 @@ def test_evol_save_step_snapshots(tmp_path):
         assert not np.allclose(first, last)
 
 
+def test_evol_save_step_finer_than_update_step(tmp_path):
+    """evol_save_step < update_step must keep its exact cadence — Adam
+    segments are chunked to land on every evol grid point (the reference
+    saves inside the iteration loop, run_session.py:84-91) — while metric
+    rows stay on the update_step grid."""
+    res = q.Grape(
+        H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
+        [np.array([0, 1], dtype=complex)], 10.0, 100,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, save=True, show_plots=False,
+        file_name="evolfine", data_path=str(tmp_path),
+        convergence={"rate": 0.01, "update_step": 50, "evol_save_step": 10,
+                     "max_iterations": 50, "conv_target": 1e-12},
+        maxA=[0.7, 0.7], seed=0, method="Adam",
+    )
+    import h5py
+
+    with h5py.File(res.file_path, "r") as hf:
+        # periodic snapshots at iters 10,20,30,40,50 + the final append
+        n_snap = hf["inter_vecs_raw_real"].shape[0]
+        assert n_snap >= 6, n_snap
+        # metrics stayed on the update_step grid (one in-loop row at 50
+        # plus the final row), NOT one row per 10-iteration chunk
+        assert len(np.array(hf["error"])) <= 3
+    assert all(i % 50 == 0 or i > 50 for i in res.history.iterations)
+
+
 def test_history_learning_rates():
     res = run_pi_pulse("Adam")
     lrs = [x for x in res.history.learning_rates if x is not None]

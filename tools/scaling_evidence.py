@@ -147,25 +147,37 @@ def weak_scaling_identity(max_devices: int = 8) -> dict:
 
 
 def dispatch_overhead_on_tpu() -> dict:
-    """Measured serial (host) cost per segment vs in-kernel compute: the
-    efficiency model eff(N) = t_compute / (t_compute + t_dispatch), with
-    per-host dispatch independent of N."""
+    """Measured serial (host) cost per segment launch: the efficiency model
+    is eff = t_compute / (t_compute + t_dispatch), with per-host dispatch
+    independent of the device count (each host launches its own shard).
+
+    Dispatch latency is a property of the host->tunnel->device round trip,
+    not of the kernel's inner workload, so it is separated with a SMALL
+    program (steps=64; full-scale segments take minutes to compile through
+    the tunnel): two segment lengths n1 < n2 of the same shape give
+    dispatch = t(n1) - n1 * (t(n2)-t(n1))/(n2-n1).  The full-scale
+    per-iteration compute time comes from bench.py's 1024-seed steps=1000
+    window (BENCH_r*.json batched_seed_iters_per_sec)."""
     import jax
-    import jax.numpy as jnp
     from qoc_tpu.parallel.batch import init_seeds
     from qoc_tpu.parallel.pallas_mega_batch import make_mega_batched_runner
 
-    problem = _problem(steps=1000)
+    problem = _problem(steps=64)
     conv = _conv()
     S = 1024
     u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(0)))
     init_state, run_n, _ = make_mega_batched_runner(
         problem, conv, throughput=True)
     st0 = init_state(u0)
-    for n in (1, 100):
+    # tunnel jitter is ~ms on a ~90ms round trip; n2's compute
+    # (~2000 iters x ~60us ~ 120ms) must rise well above it
+    n1, n2 = 1, 2001
+    for n in (n1, n2):
+        print(f"compiling n={n} segment ...", flush=True)
         np.asarray(run_n(st0, n).losses)  # compile both sizes
+    print("compiled; timing", flush=True)
 
-    def timed(n, reps=3):
+    def timed(n, reps=5):
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -173,15 +185,14 @@ def dispatch_overhead_on_tpu() -> dict:
             walls.append(time.perf_counter() - t0)
         return min(walls)
 
-    t1 = timed(1)      # ~dispatch + 1 iteration
-    t100 = timed(100)  # dispatch + 100 iterations
-    per_iter = (t100 - t1) / 99.0
-    dispatch = max(t1 - per_iter, 0.0)
-    eff_100 = (t100 - dispatch) / t100
+    t1, t2 = timed(n1), timed(n2)
+    per_iter_small = (t2 - t1) / (n2 - n1)
+    dispatch = max(t1 - per_iter_small, 0.0)
     return {"segment_dispatch_s": round(dispatch, 4),
-            "per_iteration_s": round(per_iter, 6),
-            "update_step_100_efficiency": round(eff_100, 4),
-            "seeds": S}
+            "per_iteration_s_steps64": round(per_iter_small, 6),
+            "seeds": S, "note":
+            "eff(update_step=100, steps=1000) = 100*t_iter /"
+            " (100*t_iter + dispatch) with t_iter from bench.py"}
 
 
 def main():
@@ -193,8 +204,14 @@ def main():
     if args.dispatch:
         report["dispatch"] = dispatch_overhead_on_tpu()
     else:
+        # The axon PJRT plugin ignores the JAX_PLATFORMS env var; pin the
+        # platform through jax.config (what tests/conftest.py does) so the
+        # virtual 8-device CPU mesh is actually used.
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
         import jax
 
+        jax.config.update("jax_platforms", "cpu")
         nd = len(jax.devices())
         report["collectives"] = [collective_count_in_sharded_segment(d)
                                  for d in (2, max(2, min(8, nd)))]
