@@ -500,6 +500,10 @@ def main():
     d64 = rec("dim64_unitary", dim64_iters_per_sec(primary))
     d200 = (rec("dim200_cavity_64seed", dim200_sweep_iters_per_sec())
             if is_tpu else 0.0)
+    # S=128 fills the 128-lane MXU output tiles (PERF.md seed scaling)
+    d200_128 = (rec("dim200_cavity_128seed",
+                    dim200_sweep_iters_per_sec(n_seeds=128))
+                if is_tpu else 0.0)
     cav = rec("cavity_costs_dim24", cavity_costs_iters_per_sec(primary))
     if is_tpu:
         leak = rec("leakage_fused", leakage_iters_per_sec(primary,
@@ -535,6 +539,7 @@ def main():
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),
         "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
+        "dim200_cavity_128seed_iters_per_sec": round(d200_128, 2),
         "cavity_costs_dim24_iters_per_sec": round(cav, 2),
         "leakage_transmon_iters_per_sec": round(leak, 2),
         "leakage_transmon_xla_iters_per_sec": round(leak_xla, 2),

@@ -75,12 +75,17 @@ def hbm_bytes_dim64_iter(T=200, M=128, order=8, scaling=2):
 
 def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
     """Column-batched state-transfer iteration (bench.dim200_sweep...).
-    Per Taylor term per step: Kp shared-generator [M,M]@[M,S] matmuls.
-    Remat backward: forward + recompute + 2x-cost reverse = 4x forward."""
+    Per Taylor term per step: ONE [M, Kp*M] @ [Kp*M, S] stacked
+    contraction (xla_batch.py).  Checkpointed-scan backward = original
+    forward + in-backward recompute + a single same-size reverse matmul
+    per term (the generator stack is constant, so only the stacked
+    operand cotangent needs a dot) = 3x forward — cross-checked against
+    the profiler trace's executed model_flops: 426.2 G/iter measured vs
+    3 x 147.5 G analytic at order 10 (the ~4% gap is loss/Adam edges)."""
     if order is None:
         order = _dim200_order()
     fwd = 2 * T * (order - 1) * Kp * M * M * S
-    return 4 * fwd
+    return 3 * fwd
 
 
 def _dim200_order():
