@@ -224,6 +224,24 @@ def Grape(
             np.asarray(out.inter_vecs) if out.inter_vecs is not None else None,
         )
 
+    def evol_boundary_step(iteration, loss, reg_loss, uscale, u_base,
+                           start_time):
+        """Evol-grid-only boundary (iteration % evol_save_step == 0 but not
+        on the update_step grid): the reference calls save_data() here too
+        (run_session.py:84-91), appending a full metrics row — error,
+        reg_error, uks, iteration, run_time, unitary_scale — before the
+        evolution snapshot, so every snapshot pairs with a metrics row."""
+        es = conv.evol_save_step
+        if (save and es > 0 and iteration > 0 and iteration % es == 0
+                and iteration // es > evol_state["last_idx"]):
+            _analysis.append_metrics(
+                file_path, error=loss, reg_error=reg_loss,
+                uks=_analysis.uks_from_base(problem, u_base),
+                iteration=iteration, run_time=time.time() - start_time,
+                unitary_scale=uscale,
+            )
+        maybe_save_evolution(iteration, u_base)
+
     def save_step(iteration, loss, reg_loss, g2, uscale, u_base, start_time,
                   lr=None):
         history.record(iteration, loss, reg_loss, g2, uscale, lr=lr)
@@ -295,6 +313,16 @@ def Grape(
         )
         optimizer = make_adam_optimizer(conv)
         if use_mega:
+            if save and 0 < conv.evol_save_step < conv.update_step:
+                # each DISTINCT segment length is a fresh mega-kernel
+                # compile (lru-cached on n_iters) and each segment pays one
+                # dispatch; a fine evol grid multiplies both on this path
+                print(
+                    "note: evol_save_step < update_step chunks the fused "
+                    "kernel into shorter segments — extra compiles for new "
+                    "segment lengths and one dispatch per save point; use "
+                    "engine='scan' if snapshot cadence dominates"
+                )
             init_mega, run_mega, unpad = make_mega_segment_runner(
                 problem, conv, reg_coeffs=reg_coeffs)
             state = init_mega(problem.u0_base)
@@ -349,8 +377,12 @@ def Grape(
                         ck_u, ck_opt = ckpt_tuple(state)
                         save_checkpoint(file_path, ck_u, ck_opt, it_now)
                 else:
-                    # evol-grid-only boundary: snapshot without a metrics row
-                    maybe_save_evolution(it_now, host_u(state))
+                    # evol-grid-only boundary: metrics row + snapshot
+                    # (run_session.py:84-91 parity)
+                    evol_boundary_step(
+                        it_now, float(state.loss), float(state.reg_loss),
+                        float(state.unitary_scale), host_u(state),
+                        start_time)
                 if done:
                     break
         except KeyboardInterrupt:
@@ -400,7 +432,10 @@ def Grape(
                     start_time,
                 )
             else:
-                maybe_save_evolution(it_now, np.asarray(state.u_base))
+                evol_boundary_step(
+                    it_now, float(state.loss), float(state.reg_loss),
+                    float(state.unitary_scale), np.asarray(state.u_base),
+                    start_time)
             if done:
                 break
         u_base = np.asarray(state.u_base)

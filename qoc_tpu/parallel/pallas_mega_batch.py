@@ -51,37 +51,102 @@ _F32 = jnp.float32
 _VMEM_BUDGET = 44 * (1 << 20)  # measured fit on TPU v5lite (physical ~64MB)
 
 
-def _block_vmem_bytes(M: int, T: int, Kc: int, CB: int) -> int:
+def _block_vmem_bytes(M: int, T: int, Kc: int, CB: int,
+                      pulse: bool = False, env: bool = False,
+                      Fp: int = 0) -> int:
     """Resident bytes per seed block: u/m/v (aliased in/out), wbar + w_s
-    scratch, trajectory, and working vectors."""
+    scratch, trajectory, and working vectors; with in-kernel pulse costs
+    add the sn/gw/difference temporaries, the padded envelope mask, and
+    the bandpass DFT matrices + spectra."""
     M = max(8, M)
-    return 4 * CB * (5 * T * Kc + (T + 1) * M + 8 * M)
+    b = 4 * CB * (5 * T * Kc + (T + 1) * M + 8 * M)
+    if pulse:
+        b += 4 * CB * 3 * T * Kc            # sn, gw, one difference temp
+    if env:
+        b += 4 * T * 8 * 128                # [T, Kc, 1] mask tile-padded
+    if Fp:
+        b += 4 * (4 * T * Fp + 4 * Fp * CB)  # DFT mats (+T) and spectra
+    return b
 
 
-def _pick_column_block(M: int, T: int, Kc: int) -> int:
+def _pick_column_block(M: int, T: int, Kc: int, pulse: bool = False,
+                       env: bool = False, Fp: int = 0) -> int:
     for cb in (512, 256, 128):
-        if _block_vmem_bytes(M, T, Kc, cb) < _VMEM_BUDGET:
+        if _block_vmem_bytes(M, T, Kc, cb, pulse, env, Fp) < _VMEM_BUDGET:
             return cb
     return 0
 
 
 _BATCH_FORB_KEYS = ("forbidden_coeff_list", "forbidden",
                     "states_forbidden_list", "forbid_dressed")
+_BATCH_PULSE_KEYS = ("amplitude", "envelope", "dwdt", "d2wdt2",
+                     "bandpass", "band")
+
+
+def _bandpass_bins(problem: ControlProblem, reg_coeffs) -> np.ndarray:
+    """Penalized FFT bin indices (regularization_functions.py:59-65): bins
+    [0, band_id0) and [band_id1, steps/2) of the steps-point FFT."""
+    band = np.asarray(reg_coeffs["band"], dtype=float)
+    band_id = (band * float(problem.total_time)).astype(int)
+    return np.concatenate([
+        np.arange(0, max(int(band_id[0]), 0)),
+        np.arange(int(band_id[1]), int(problem.steps / 2)),
+    ])
+
+
+def _pulse_statics(problem: ControlProblem, reg_coeffs):
+    """Static in-kernel parameters for the pulse-shape/spectral penalties
+    (same host-side prep as ops/pallas_mega.py:496-561, column layout)."""
+    rc = reg_coeffs or {}
+    p = problem
+    st = {
+        "a_amp": float(rc.get("amplitude", 0.0)) / p.steps,
+        "a_env": float(rc.get("envelope", 0.0)) / p.steps,
+        "a_dwdt": float(rc.get("dwdt", 0.0)) / p.steps,
+        "a_d2": float(rc.get("d2wdt2", 0.0)) / p.steps,
+        "a_bp": float(rc.get("bandpass", 0.0)) / p.steps,
+        "inv_dt": 1.0 / float(p.dt),
+        "Fp": 0,
+        "bins": None,
+    }
+    if st["a_bp"]:
+        bins = _bandpass_bins(p, rc)
+        if bins.size == 0:
+            st["a_bp"] = 0.0
+        else:
+            st["bins"] = bins
+            st["Fp"] = max(128, -(-bins.size // 128) * 128)
+    st["pulse"] = bool(st["a_amp"] or st["a_env"] or st["a_dwdt"]
+                       or st["a_d2"] or st["a_bp"])
+    return st
 
 
 def batched_mega_supported(problem: ControlProblem,
                            reg_coeffs: Optional[dict] = None) -> bool:
-    if reg_coeffs:
-        # forbidden-state penalties ride the VMEM-resident trajectory the
-        # backward sweep already stores; other costs fall back to XLA
-        if set(reg_coeffs) - set(_BATCH_FORB_KEYS):
+    """The fused batched-optimizer kernel covers the coherent fidelity
+    objective plus six of the seven reference penalties
+    (regularization_functions.py:7-97) IN-KERNEL: the pulse-shape costs
+    (amplitude/envelope/dwdt/d2wdt2) and the spectral bandpass cost as
+    per-channel DFT matmuls on the column layout, and the forbidden-state
+    occupation penalties on the VMEM-resident trajectory.  speed_up falls
+    back to the XLA batched path (it needs per-timestep group-summed
+    overlap state through the backward sweep)."""
+    rc = reg_coeffs or {}
+    if rc:
+        if set(rc) - set(_BATCH_FORB_KEYS) - set(_BATCH_PULSE_KEYS):
             return False
-        if not problem.use_inter_vecs:
+        if "bandpass" in rc and "band" not in rc:
+            return False
+        if any(k in rc for k in _BATCH_FORB_KEYS) and not problem.use_inter_vecs:
+            return False
+        if (rc.get("dwdt") or rc.get("d2wdt2")) and problem.steps < 4:
             return False
     if problem.initial_vectors.shape[1] > 8:
         return False
+    st = _pulse_statics(problem, rc)
     return _pick_column_block(
-        2 * problem.state_num, problem.steps, problem.ops_len) > 0
+        2 * problem.state_num, problem.steps, problem.ops_len,
+        st["pulse"], bool(st["a_env"]), st["Fp"]) > 0
 
 
 def _roll(x, shift):

@@ -13,8 +13,13 @@ and compare the stored intermediate states.  Three oracles:
     (qutip_verification.py:51-64) — the same algorithm CLASS as the
     reference's ``qt.sesolve`` oracle, with no qutip dependency.
   * ``qutip``: ``qt.sesolve`` itself, byte-for-byte the reference's oracle
-    construction.  qutip is NOT installed in this environment, so this
-    branch only runs where the user has it; ``ode`` is the tested stand-in.
+    construction.  qutip is an OPTIONAL EXTRA (``pip install
+    qoc_tpu[qutip]``), deliberately not vendored: requesting this oracle
+    without it raises a documented error (tested), and everything shared
+    with it — run-file loading and the piecewise-constant
+    ``uks[k][int(t/dt)]`` pulse lookup (qutip_verification.py:51-61) — is
+    factored into ``piecewise_uks_fns`` and exercised by the ``ode``
+    oracle's tests.  The qutip-exclusive surface is three qt.* calls.
 
 All read the identical h5 schema the reference writes (H0, Hops,
 total_time, steps, uks[-1], inter_vecs_raw_{real,imag}[-1],
@@ -84,6 +89,25 @@ def verify_run(datafile: str, atol: float = 1e-4, oracle: str = "scipy"):
     return {"max_abs_diff": max_abs_diff_list, "all_close": all_close_list}
 
 
+def piecewise_uks_fns(uks, gate_time, steps):
+    """Per-channel callables ``u_k(t)`` with the reference's
+    piecewise-constant lookup ``uks[k][int(t/dt)]`` zero-padded one step
+    past the horizon (qutip_verification.py:51-61).  Shared by the ``ode``
+    and ``qutip`` oracles so the lookup semantics are tested even where
+    qutip is not installed."""
+    dt = gate_time / steps
+    uks_pad = np.hstack([np.asarray(uks, dtype=float),
+                         np.zeros((np.shape(uks)[0], 1))])
+
+    def make(idx):
+        def _fn(t, args=None):
+            return uks_pad[idx][min(int(t / dt), steps)]
+
+        return _fn
+
+    return [make(k) for k in range(np.shape(uks)[0])]
+
+
 def ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0_c,
                       rtol=1e-9, atol=1e-11):
     """Adaptive ODE integration of i dpsi/dt = H(t) psi — the reference
@@ -95,16 +119,14 @@ def ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0_c,
     from scipy.integrate import solve_ivp
 
     dt = gate_time / steps
-    uks_pad = np.hstack([np.asarray(uks, dtype=float),
-                         np.zeros((np.shape(uks)[0], 1))])
+    u_fns = piecewise_uks_fns(uks, gate_time, steps)
     H0c = np.asarray(H0, dtype=complex)
     Hkc = [np.asarray(h, dtype=complex) for h in Hops]
 
     def rhs(t, y):
-        idx = min(int(t / dt), steps)
         H = H0c
-        for k, Hk in enumerate(Hkc):
-            H = H + uks_pad[k][idx] * Hk
+        for fn, Hk in zip(u_fns, Hkc):
+            H = H + fn(t) * Hk
         return -1j * (H @ y)
 
     tlist = np.linspace(0.0, gate_time, steps + 1)
@@ -118,22 +140,22 @@ def ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0_c,
 
 def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c):
     """QuTiP sesolve oracle, reference construction
-    (qutip_verification.py:35-71).  Requires qutip to be installed."""
-    import qutip as qt
+    (qutip_verification.py:35-71).  Requires the optional ``qutip`` extra
+    (``pip install qoc_tpu[qutip]``); the pulse-lookup callables come from
+    the shared, ode-oracle-tested ``piecewise_uks_fns``."""
+    try:
+        import qutip as qt
+    except ImportError as e:
+        raise ImportError(
+            "oracle='qutip' needs the optional qutip extra: "
+            "pip install qoc_tpu[qutip] (the 'ode' oracle is the "
+            "dependency-free stand-in with the same algorithm class)"
+        ) from e
 
     tlist = np.linspace(0, gate_time, steps + 1)
-    dt = gate_time / steps
-    uks_pad = np.hstack([uks, np.zeros((uks.shape[0], 1))])
-
-    def make_get_uks_func(idx):
-        def _fn(t, args=None):
-            return uks_pad[idx][int(t / dt)]
-
-        return _fn
-
     Ht_list = [qt.Qobj(H0)]
-    for k in range(len(Hops)):
-        Ht_list.append([qt.Qobj(Hops[k]), make_get_uks_func(k)])
+    for Hk, u_fn in zip(Hops, piecewise_uks_fns(uks, gate_time, steps)):
+        Ht_list.append([qt.Qobj(Hk), u_fn])
     out = qt.sesolve(Ht_list, qt.Qobj(psi0_c), tlist, [])
     states = np.array([s.full() for s in out.states])[:, :, 0]
     return np.transpose(states)

@@ -303,6 +303,41 @@ def test_ode_oracle_matches_expm_oracle():
     np.testing.assert_allclose(s_ode, s_expm, atol=1e-7)
 
 
+def test_piecewise_uks_fns_reference_lookup():
+    """The shared pulse-lookup callables (used by BOTH the ode and qutip
+    oracles) implement the reference's uks[k][int(t/dt)] piecewise-constant
+    lookup with one zero-pad step past the horizon
+    (qutip_verification.py:51-61)."""
+    from qoc_tpu.utils.verification import piecewise_uks_fns
+
+    uks = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    fns = piecewise_uks_fns(uks, gate_time=3.0, steps=3)  # dt = 1
+    assert fns[0](0.0) == 1.0
+    assert fns[0](0.999) == 1.0
+    assert fns[0](1.0) == 2.0
+    assert fns[1](2.5) == 6.0
+    assert fns[0](3.0) == 0.0  # the zero-pad step at t = total_time
+
+
+def test_qutip_oracle_guard():
+    """oracle='qutip' without the optional extra raises the documented
+    install hint instead of a bare ImportError (qutip is deliberately not
+    vendored; the ode oracle is the tested stand-in)."""
+    import importlib.util
+
+    if importlib.util.find_spec("qutip") is not None:
+        import pytest
+
+        pytest.skip("qutip installed; guard not reachable")
+    import pytest
+
+    from qoc_tpu.utils.verification import _qutip_states
+
+    with pytest.raises(ImportError, match="qoc_tpu\\[qutip\\]"):
+        _qutip_states(np.zeros((2, 2)), [np.eye(2)], np.zeros((1, 4)),
+                      1.0, 4, np.array([1.0, 0.0], dtype=complex))
+
+
 def test_remat_through_grape():
     res = run_pi_pulse("Adam", remat=True, engine="scan")
     assert res.loss < 1e-4
@@ -368,9 +403,11 @@ def test_evol_save_step_snapshots(tmp_path):
 
 def test_evol_save_step_finer_than_update_step(tmp_path):
     """evol_save_step < update_step must keep its exact cadence — Adam
-    segments are chunked to land on every evol grid point (the reference
-    saves inside the iteration loop, run_session.py:84-91) — while metric
-    rows stay on the update_step grid."""
+    segments are chunked to land on every evol grid point — AND each
+    evol-grid boundary appends a full metrics row too: the reference's
+    update_and_save calls save_data() at evol boundaries
+    (run_session.py:84-91), so snapshots always pair with
+    error/uks/iteration rows."""
     res = q.Grape(
         H0_QUBIT, [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
         [np.array([0, 1], dtype=complex)], 10.0, 100,
@@ -387,9 +424,21 @@ def test_evol_save_step_finer_than_update_step(tmp_path):
         # periodic snapshots at iters 10,20,30,40,50 + the final append
         n_snap = hf["inter_vecs_raw_real"].shape[0]
         assert n_snap >= 6, n_snap
-        # metrics stayed on the update_step grid (one in-loop row at 50
-        # plus the final row), NOT one row per 10-iteration chunk
-        assert len(np.array(hf["error"])) <= 3
+        # one metrics row per evol boundary (10,20,30,40,50) + the final
+        # append — the reference writes a save_data() row at every evol
+        # point, so error rows track the evol grid, not just update_step
+        iters = np.array(hf["iteration"]).ravel()
+        errors = np.array(hf["error"]).ravel()
+        assert len(errors) == len(iters)
+        for it in (10, 20, 30, 40, 50):
+            assert it in iters, (it, iters)
+        # where the grids coincide (iter 50) the evol path must not add a
+        # row on top of the update_step rows (segment-end + done re-save +
+        # final append were already <= 3 before evol rows were paired)
+        assert np.sum(iters == 50) <= 3
+        for it in (10, 20, 30, 40):
+            assert np.sum(iters == it) == 1
+    # the user-facing history still tracks the update_step grid only
     assert all(i % 50 == 0 or i > 50 for i in res.history.iterations)
 
 

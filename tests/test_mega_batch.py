@@ -211,6 +211,7 @@ def test_sharded_over_mesh_matches_single_device(eight_devices):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_vector_unitary_group_fidelity():
     """V=4 concerned vectors (CNOT-class, no_scaling unitary): batched
     kernel losses match the per-seed forward's coherent fidelity, and
@@ -252,6 +253,7 @@ def test_multi_vector_unitary_group_fidelity():
     np.testing.assert_allclose(out["uks"], ref["uks"], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_unitary_with_scaling_batched():
     """CNOT-class sweep WITH taylor_scaling > 0 (BASELINE config 2): the
     squaring branch runs as repeated pre-scaled Taylor applications on the

@@ -1,6 +1,7 @@
 """Profiling utilities and misc coverage."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ def test_time_fn_reports_compile_and_steady():
     assert out["iters_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_trace_writes_profile(tmp_path):
     from qoc_tpu.utils.profiling import trace
 

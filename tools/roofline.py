@@ -81,7 +81,11 @@ def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
     per term (the generator stack is constant, so only the stacked
     operand cotangent needs a dot) = 3x forward — cross-checked against
     the profiler trace's executed model_flops: 426.2 G/iter measured vs
-    3 x 147.5 G analytic at order 10 (the ~4% gap is loss/Adam edges)."""
+    3 x 147.5 G analytic at order 10.  The measured value sits ~4% BELOW
+    the analytic bound because the 3x model slightly overcounts the
+    reverse sweep (the first Taylor term's cotangent needs no stacked
+    dot, and the trace's model_flops counts matmul flops only — the
+    elementwise loss/Adam work appears in neither number)."""
     if order is None:
         order = _dim200_order()
     fwd = 2 * T * (order - 1) * Kp * M * M * S
