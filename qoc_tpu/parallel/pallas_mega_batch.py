@@ -22,13 +22,18 @@ serial chains.
 Hamiltonian sweeps ride the same kernel: extra operator channels with
 constant per-seed weights (parallel/pallas_batch.py convention).
 
-Scope: pure-fidelity (+ forbidden-state) objectives, up to 8 concerned
-vectors per seed (V columns per seed group, coherent inner_product_2D
-fidelity via in-kernel lane group-sums), state-transfer problems or
-unitary problems at ANY taylor_scaling — each squaring runs as one more
-pre-scaled Taylor application to the state block (exp(A) =
+Scope: the coherent-fidelity objective plus SIX of the seven reference
+penalties IN-KERNEL — amplitude/envelope/dwdt/d2wdt2 on the normalized
+weights, the spectral bandpass cost as per-channel out-of-band DFT
+matmuls, and the forbidden-state occupation penalties on the
+VMEM-resident trajectory (speed_up falls back to the XLA batched path);
+up to 8 concerned vectors per seed (V columns per seed group, coherent
+inner_product_2D fidelity via in-kernel lane group-sums); state-transfer
+problems or unitary problems at ANY taylor_scaling — each squaring runs
+as one more pre-scaled Taylor application to the state block (exp(A) =
 Taylor(A/2^s)^(2^s), tensorflow_state.py:31,43-44), so multi-seed gate
-sweeps (BASELINE config 2) stay on the fused path.
+sweeps with config 2's own smoothness + envelope reg_coeffs
+(regularization_functions.py:15-45) stay on the fused path.
 """
 
 from __future__ import annotations
@@ -196,7 +201,9 @@ def _matvec(A, x):
 def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
             eps, rate,
             factor, conv_target, min_grad, max_iterations, forb, forb_c0,
+            a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
+            env2_ref, dftc_ref, dftcT_ref, dfts_ref, dftsT_ref,
             u_in, m_in, v_in, it_in, done_in,
             u_out, m_out, v_out, it_out, done_out, stats_ref,
             traj, wbar, w_s):
@@ -281,6 +288,73 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         return pbar + jnp.stack(
             [rows[j] if rows[j] is not None else psi[0] * 0.0
              for j in range(M)], axis=0)
+
+    has_pulse = bool(a_amp or a_env or a_dwdt or a_d2 or a_bp)
+    HI = lax.Precision.HIGHEST
+
+    def tshift(x, s):
+        """Shift along the (leading) time axis, zero-filled: tshift(x, 1)
+        = x_{t-1} with x_{-1} = 0 (the reference's 2-zero padding of the
+        pulse, regularization_functions.py:29-31, on the column layout)."""
+        z = x[: abs(s)] * 0.0
+        if s > 0:
+            return jnp.concatenate([z, x[:-s]], axis=0)
+        return jnp.concatenate([x[-s:], z], axis=0)
+
+    def pulse_penalties(u):
+        """(pen [CB], gw [T, Kc, CB]): the reference's pulse-shape and
+        spectral penalties (regularization_functions.py:15-67) on the
+        normalized weights sin(base), with analytic gradients — the same
+        in-kernel math as ops/pallas_mega.py:139-178 restated time-major.
+        Columns within a seed group replicate the controls, so every
+        column computes its seed's full penalty value and gradient."""
+        sn = jnp.sin(u)                                   # [T, Kc, CB]
+        pen = jnp.zeros_like(u[0, 0, :])                  # [CB]
+        gw = jnp.zeros_like(sn)
+        if a_amp:
+            pen = pen + a_amp * 0.5 * jnp.sum(sn * sn, axis=(0, 1))
+            gw = gw + a_amp * sn
+        if a_env:
+            e2 = env2_ref[:]                              # [T, Kc, 1]
+            pen = pen + a_env * 0.5 * jnp.sum(e2 * sn * sn, axis=(0, 1))
+            gw = gw + a_env * e2 * sn
+        if a_dwdt:
+            d = (sn - tshift(sn, 1)) * inv_dt
+            # boundary difference d_T = -w_{T-1}/dt (the trailing zero pad)
+            tail = sn[T - 1] * inv_dt                     # [Kc, CB]
+            pen = pen + a_dwdt * 0.5 * (
+                jnp.sum(d * d, axis=(0, 1)) + jnp.sum(tail * tail, axis=0))
+            gw = gw + (a_dwdt * inv_dt * inv_dt) * (
+                2.0 * sn - tshift(sn, 1) - tshift(sn, -1))
+        if a_d2:
+            idt2 = inv_dt * inv_dt
+            s2 = (sn - 2.0 * tshift(sn, 1) + tshift(sn, 2)) * idt2
+            # boundary rows at t = T, T+1 from the trailing zero pad
+            s2_t = (sn[T - 2] - 2.0 * sn[T - 1]) * idt2   # [Kc, CB]
+            s2_t1 = sn[T - 1] * idt2
+            s2e = jnp.concatenate(
+                [s2, s2_t[None], s2_t1[None]], axis=0)    # [T+2, Kc, CB]
+            pen = pen + a_d2 * 0.5 * jnp.sum(s2e * s2e, axis=(0, 1))
+            gw = gw + (a_d2 * idt2) * (
+                s2e[0:T] - 2.0 * s2e[1:T + 1] + s2e[2:T + 2])
+        if a_bp:
+            # per-channel DFT matmuls over the penalized out-of-band bins
+            # (ops/pallas_mega.py:163-178 semantics, time on the
+            # contraction axis): spectrum [Fp, CB] per control channel
+            gcols = []
+            for k in range(Kc):
+                snk = sn[:, k, :]                         # [T, CB]
+                re_f = jnp.dot(dftcT_ref[:], snk, precision=HI)
+                im_f = -jnp.dot(dftsT_ref[:], snk, precision=HI)
+                mag = jnp.sqrt(re_f * re_f + im_f * im_f)
+                pen = pen + a_bp * jnp.sum(mag, axis=0)
+                inv = jnp.where(mag > 0.0,
+                                1.0 / jnp.maximum(mag, 1e-30), 0.0)
+                gcols.append(
+                    jnp.dot(dftc_ref[:], re_f * inv, precision=HI)
+                    - jnp.dot(dfts_ref[:], im_f * inv, precision=HI))
+            gw = gw + a_bp * jnp.stack(gcols, axis=1)     # [T, Kc, CB]
+        return pen, gw
 
     def iteration(i, _):
         # physical weights for every timestep, one bulk elementwise pass
@@ -381,8 +455,17 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         # -------- per-seed gradient norm + convergence test --------
         # columns within a seed group carry replicated controls; the
         # seed's gradient is the group total, broadcast back to each.
+        # Pulse-penalty gradients are per-seed values computed identically
+        # in every replica column — added once per column, NOT group-summed
+        # (ops/pallas_mega.py:268 g = (wbar*maxamp + gw) * cos(u)).
         u = u_out[:]
-        g = _group_sum(wbar[:], V) * (maxamp[None, :, 0:1] * jnp.cos(u))
+        if has_pulse:
+            pen_p, gw_p = pulse_penalties(u)
+            g = (_group_sum(wbar[:], V) * maxamp[None, :, 0:1] + gw_p) \
+                * jnp.cos(u)
+        else:
+            pen_p = jnp.float32(0.0)
+            g = _group_sum(wbar[:], V) * (maxamp[None, :, 0:1] * jnp.cos(u))
         g2 = 0.5 * jnp.sum(jnp.sum(g * g, axis=0), axis=0)   # [CB]
         g2 = g2 * (1.0 / V)  # replicas each counted the full seed norm
         it = it_out[0, :]                                    # [CB]
@@ -395,9 +478,10 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         do = (1.0 - done)[None, None, :]
         stats_ref[0, :] = loss
         stats_ref[1, :] = g2
-        # reg_loss per seed: fidelity + penalty summed over the seed's V
-        # vector columns + the constant psi0 (tau=0) term
-        stats_ref[2, :] = loss + _group_sum(pen, V) + forb_c0
+        # reg_loss per seed: fidelity + forbidden penalty summed over the
+        # seed's V vector columns + the constant psi0 (tau=0) term + the
+        # pulse-shape/spectral penalties (replicated per column)
+        stats_ref[2, :] = loss + _group_sum(pen, V) + forb_c0 + pen_p
 
         # -------- Adam (optax semantics), frozen seeds masked --------
         mm = b1 * m_out[:] + (1.0 - b1) * g
@@ -422,13 +506,16 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
 def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
                 b1, b2, eps, rate, factor,
                 conv_target, min_grad, max_iterations,
-                forb=(), forb_c0=0.0):
+                forb=(), forb_c0=0.0,
+                a_amp=0.0, a_env=0.0, a_dwdt=0.0, a_d2=0.0, inv_dt=1.0,
+                a_bp=0.0, Fp=0):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
         _kernel, M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         eps,
-        rate, factor, conv_target, min_grad, max_iterations, forb, forb_c0)
+        rate, factor, conv_target, min_grad, max_iterations, forb, forb_c0,
+        a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp)
     C = G * CB
 
     def cols3(i):
@@ -436,6 +523,15 @@ def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
 
     def cols2(i):
         return (0, i)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    # column-independent penalty statics (dummy tiles when inactive)
+    env2_shape = (T, Kc, 1) if a_env else (1, 8, 128)
+    dft_shape = (T, Fp) if a_bp else (8, 128)
+    dftT_shape = (Fp, T) if a_bp else (8, 128)
 
     big = pl.BlockSpec((T, Kc, CB), cols3, memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, CB), cols2, memory_space=pltpu.VMEM)
@@ -451,15 +547,15 @@ def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
             jax.ShapeDtypeStruct((3, C), _F32),
         ),
         in_specs=[
-            pl.BlockSpec((K, M, M), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, M, M), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kc, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            fixed((K, M, M)),
+            fixed((K, M, M)),
+            fixed((Kc, 1)),
             pl.BlockSpec((M, CB), cols2, memory_space=pltpu.VMEM),
             pl.BlockSpec((M, CB), cols2, memory_space=pltpu.VMEM),
             pl.BlockSpec((max(E, 1), CB), cols2, memory_space=pltpu.VMEM),
+            fixed(env2_shape),
+            fixed(dft_shape), fixed(dftT_shape),
+            fixed(dft_shape), fixed(dftT_shape),
             big, big, big, row, row,
         ],
         out_specs=(
@@ -473,7 +569,7 @@ def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
         ],
         # state tensors are updated in place across the segment — alias
         # inputs to outputs (halves streamed VMEM blocks + HBM footprint)
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3, 15: 4},
         compiler_params=pltpu.CompilerParams(
             # default scoped-vmem budget is 16 MB; the resident optimizer
             # state (u/m/v + trajectory + wbar at 512 columns) needs ~37 MB
@@ -554,6 +650,32 @@ def make_mega_batched_runner(
     order = p.taylor_terms if p.state_transfer else p.taylor_terms + 1
     scaling = 0 if p.state_transfer else p.taylor_scaling
     factor = float(np.exp(-1.0 / float(conv.learning_rate_decay)))
+
+    # ---- pulse-shape/spectral penalty statics (column layout) ----
+    ps = _pulse_statics(p, reg_coeffs)
+    if ps["a_env"]:
+        env2_h = np.ascontiguousarray(
+            (np.asarray(p.one_minus_gauss, dtype=np.float32) ** 2).T
+        )[:, :, None]                                      # [T, Kc, 1]
+    else:
+        env2_h = np.zeros((1, 8, 128), np.float32)
+    if ps["a_bp"]:
+        bins = ps["bins"]
+        ang = (2.0 * np.pi * np.arange(T)[:, None] * bins[None, :]
+               / float(T))
+        F = bins.size
+        Fp = ps["Fp"]
+        dftc_h = np.zeros((T, Fp), np.float32)
+        dfts_h = np.zeros((T, Fp), np.float32)
+        dftc_h[:, :F] = np.cos(ang)
+        dfts_h[:, :F] = np.sin(ang)
+    else:
+        dftc_h = dfts_h = np.zeros((8, 128), np.float32)
+    env2 = jnp.asarray(env2_h)
+    dftc = jnp.asarray(dftc_h)
+    dfts = jnp.asarray(dfts_h)
+    dftcT = jnp.asarray(np.ascontiguousarray(dftc_h.T))
+    dftsT = jnp.asarray(np.ascontiguousarray(dfts_h.T))
     if throughput:
         conv_target, min_grad, max_iterations = -1.0, -1.0, float(2 ** 30)
     else:
@@ -589,7 +711,8 @@ def make_mega_batched_runner(
             raise ValueError(
                 f"column count {C} not divisible by mesh size {D} x V={V}")
         C_loc = C // D
-        CB = min(_pick_column_block(M, T, Kc), C_loc)
+        CB = min(_pick_column_block(M, T, Kc, ps["pulse"],
+                                    bool(ps["a_env"]), ps["Fp"]), C_loc)
         CB -= CB % V   # seed groups must not straddle block boundaries
         if C_loc % CB != 0:
             raise ValueError(
@@ -599,7 +722,9 @@ def make_mega_batched_runner(
                            C_loc // CB,
                            0.9, 0.999, 1e-8, float(conv.rate), factor,
                            conv_target, min_grad, max_iterations,
-                           forb, forb_c0)
+                           forb, forb_c0,
+                           ps["a_amp"], ps["a_env"], ps["a_dwdt"],
+                           ps["a_d2"], ps["inv_dt"], ps["a_bp"], ps["Fp"])
         if mesh is None:
             fn = jax.jit(call)
         else:
@@ -612,6 +737,7 @@ def make_mega_batched_runner(
             fn = jax.jit(jax.shard_map(
                 call, mesh=mesh,
                 in_specs=(rep, rep, rep, col2, col2, col2,
+                          rep, rep, rep, rep, rep,
                           col3, col3, col3, col2, col2),
                 out_specs=(col3, col3, col3, col2, col2, col2),
                 check_vma=False,
@@ -633,6 +759,7 @@ def make_mega_batched_runner(
             ew = jnp.zeros((1, C), dtype=_F32)
         u, m, v, it, done, stats = seg(
             mats, matsT, maxamp, psi0, tgt, ew,
+            env2, dftc, dftcT, dfts, dftsT,
             jnp.asarray(state.u_cols), jnp.asarray(state.m_cols),
             jnp.asarray(state.v_cols), jnp.asarray(state.it_cols),
             jnp.asarray(state.done_cols),

@@ -66,7 +66,18 @@ def _loss_np64(problem, u, extra_mats=None, extra_w=None):
 
 def test_supported_gates():
     assert batched_mega_supported(_problem())
-    assert not batched_mega_supported(_problem(), reg_coeffs={"dwdt": 0.1})
+    # pulse-shape + bandpass costs are in-kernel (round 4); speed_up is the
+    # one penalty that still falls back to the XLA batched path
+    assert batched_mega_supported(_problem(), reg_coeffs={"dwdt": 0.1})
+    assert batched_mega_supported(
+        _problem(), reg_coeffs={"amplitude": 0.1, "envelope": 0.2,
+                                "d2wdt2": 0.01})
+    assert batched_mega_supported(
+        _problem(), reg_coeffs={"bandpass": 0.1, "band": [0.1, 3.0]})
+    assert not batched_mega_supported(
+        _problem(), reg_coeffs={"bandpass": 0.1})  # band required
+    assert not batched_mega_supported(
+        _problem(), reg_coeffs={"speed_up": 0.1})
 
 
 def test_gradient_matches_float64_oracle():
@@ -346,8 +357,11 @@ def test_forbidden_supported_and_matches_xla():
     problem = _leakage_problem()
     rc = {"forbidden_coeff_list": [4.0], "states_forbidden_list": [2]}
     assert batched_mega_supported(problem, reg_coeffs=rc)
-    assert not batched_mega_supported(
+    # forbidden composes with the in-kernel pulse costs (round 4)
+    assert batched_mega_supported(
         problem, reg_coeffs=dict(rc, amplitude=0.1))
+    assert not batched_mega_supported(
+        problem, reg_coeffs=dict(rc, speed_up=0.1))
     conv = _conv()
 
     S = 3
@@ -390,3 +404,97 @@ def test_forbidden_through_batch_layer():
     loss = np.asarray(st.loss)
     assert np.all(np.isfinite(reg)) and np.all(reg >= loss - 1e-7)
     assert np.any(reg > loss)  # the penalty is actually being charged
+
+
+def test_pulse_costs_in_batched_kernel():
+    """All five pulse-shape/spectral penalties
+    (regularization_functions.py:15-67) computed IN-KERNEL on the column
+    layout: per-seed reg losses, fidelity losses, and analytic gradients
+    match the vmapped XLA path (value_and_grad of the generic forward)."""
+    from qoc_tpu.models.forward import make_forward
+
+    problem = _problem()
+    rc = {"amplitude": 0.3, "envelope": 0.2, "dwdt": 0.05, "d2wdt2": 0.001,
+          "bandpass": 0.1, "band": [0.1, 3.0]}
+    assert batched_mega_supported(problem, reg_coeffs=rc)
+    S = 4
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(0)))
+    init_m, run_m, _ = make_mega_batched_runner(
+        problem, _conv(), reg_coeffs=rc)
+    st = run_m(init_m(u0), 1)
+
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    vg = jax.vmap(lambda u: jax.value_and_grad(lambda x: loss_fn(x)[0])(u))
+    regs, grads = vg(jnp.asarray(u0))
+    fids = jax.vmap(lambda u: loss_fn(u)[1].loss)(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(st.reg_losses), np.asarray(regs),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.losses), np.asarray(fids),
+                               atol=2e-5)
+    # after one Adam step the first moment is (1-b1) * grad
+    g_mega = np.transpose(np.asarray(st.m_cols), (2, 1, 0)) / 0.1
+    np.testing.assert_allclose(g_mega, np.asarray(grads), atol=2e-5)
+
+
+def test_forbidden_plus_pulse_costs_compose():
+    """Forbidden-state (trajectory) + pulse-shape penalties in ONE kernel:
+    reg losses and gradients match the vmapped XLA path."""
+    from qoc_tpu.models.forward import make_forward
+
+    problem = _leakage_problem()
+    rc = {"forbidden_coeff_list": [5.0], "states_forbidden_list": [2],
+          "dwdt": 0.01, "amplitude": 0.05}
+    assert batched_mega_supported(problem, reg_coeffs=rc)
+    S = 2
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(5)))
+    init_m, run_m, _ = make_mega_batched_runner(
+        problem, _conv(), reg_coeffs=rc)
+    st = run_m(init_m(u0), 1)
+
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    vg = jax.vmap(lambda u: jax.value_and_grad(lambda x: loss_fn(x)[0])(u))
+    regs, grads = vg(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(st.reg_losses), np.asarray(regs),
+                               atol=2e-5)
+    V = problem.initial_vectors.shape[1]
+    g_mega = np.transpose(np.asarray(st.m_cols)[:, :, ::V], (2, 1, 0)) / 0.1
+    np.testing.assert_allclose(g_mega, np.asarray(grads), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cnot_smoothness_reg_batched():
+    """BASELINE config 2's own reg_coeffs (smoothness + envelope) on a
+    CNOT-class sweep with taylor_scaling > 0 stays on the fused batched
+    kernel: values + gradients match the vmapped XLA path, and the batch
+    layer auto-routes to backend 'mega'."""
+    from qoc_tpu.models.forward import make_forward
+
+    CNOT = np.eye(4, dtype=complex)
+    CNOT[2:, 2:] = [[0, 1], [1, 0]]
+    XI = np.kron(q.SIGMA_X, np.eye(2))
+    IX = np.kron(np.eye(2), q.SIGMA_X)
+    ZZ = np.kron(q.SIGMA_Z, q.SIGMA_Z)
+    problem = ControlProblem.build(
+        np.zeros((4, 4), dtype=complex), [XI, IX, ZZ],
+        ["xi", "ix", "zz"], CNOT, 4.0, 12, [0, 1, 2, 3],
+        maxA=[1.0] * 3, seed=0, Taylor_terms=[8, 2],
+    )
+    rc = {"dwdt": 0.01, "envelope": 0.1}
+    assert problem.taylor_scaling == 2
+    assert batched_mega_supported(problem, reg_coeffs=rc)
+    S = 3
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
+    init_m, run_m, _ = make_mega_batched_runner(
+        problem, _conv(), reg_coeffs=rc)
+    st = run_m(init_m(u0), 1)
+
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    vg = jax.vmap(lambda u: jax.value_and_grad(lambda x: loss_fn(x)[0])(u))
+    regs, grads = vg(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(st.reg_losses), np.asarray(regs),
+                               atol=2e-5)
+    g_mega = np.transpose(np.asarray(st.m_cols)[:, :, ::4], (2, 1, 0)) / 0.1
+    np.testing.assert_allclose(g_mega, np.asarray(grads), atol=1e-5)

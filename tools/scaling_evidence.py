@@ -92,6 +92,7 @@ def collective_count_in_sharded_segment(n_devices: int) -> dict:
     fn = jax.jit(jax.shard_map(
         call, mesh=mesh,
         in_specs=(rep, rep, rep, col2, col2, col2,
+                  rep, rep, rep, rep, rep,
                   col3, col3, col3, col2, col2),
         out_specs=(col3, col3, col3, col2, col2, col2),
         check_vma=False))
@@ -104,8 +105,10 @@ def collective_count_in_sharded_segment(n_devices: int) -> dict:
     ew = jnp.zeros((1, S), jnp.float32)
     u = jnp.zeros((T, Kc, S), jnp.float32)
     row = jnp.zeros((1, S), jnp.float32)
+    env2 = jnp.zeros((1, 8, 128), jnp.float32)   # inactive-cost dummies
+    dft = jnp.zeros((8, 128), jnp.float32)
     lowered = fn.lower(mats, jnp.swapaxes(mats, -1, -2), maxamp, psi0,
-                       psi0, ew, u, u, u, row, row)
+                       psi0, ew, env2, dft, dft, dft, dft, u, u, u, row, row)
     hlo = lowered.compile().as_text()
     hits = COLLECTIVE_RE.findall(hlo)
     return {"n_devices": n_devices, "hlo_collective_ops": len(hits),
