@@ -5,21 +5,33 @@ per-seed step generator ``A_t [S, M, M]`` at every timestep — at dim 200
 that is 41 MB of HBM traffic per Taylor application, and the whole
 iteration is bandwidth-bound.  This module batches seeds on the COLUMN
 axis instead (the pallas_chain layout, in pure XLA): the state block is
-``[M, S]``, and each Taylor term is ONE ``[M, K'M] @ [K'M, S]`` MXU
-matmul — the per-seed weights are column scalings, so they commute into
-the operand (``sum_k w_k (M_k @ pn) = [M_0|..|M_K'] @ stack_k(pn * w_k)``)
-and the K'-channel mix happens inside the MXU contraction instead of as
-K' separate dots + adds.  No per-seed matrices ever exist.  Measured at
-dim 200 (qubit x 100-level cavity, 200 steps, 64 seeds, TPU v5lite):
-4.6x the vmapped path as separate dots, a further 11% with the stacked
-contraction (fwd+bwd 42.0 -> 37.9 ms; a seed-major ``[S, K'M] @ [K'M, M]``
-transpose variant measured slightly worse, 38.3 ms).
+``[M, C]`` (C = seeds x V concerned vectors), and each Taylor term is ONE
+``[M, K'M] @ [K'M, C]`` MXU matmul — the per-seed weights are column
+scalings, so they commute into the operand (``sum_k w_k (M_k @ pn) =
+[M_0|..|M_K'] @ stack_k(pn * w_k)``) and the K'-channel mix happens
+inside the MXU contraction instead of as K' separate dots + adds.  No
+per-seed matrices ever exist.  Measured at dim 200 (qubit x 100-level
+cavity, 200 steps, 64 seeds, TPU v5lite): 4.6x the vmapped path as
+separate dots, a further 11% with the stacked contraction (fwd+bwd 42.0
+-> 37.9 ms; a seed-major ``[S, K'M] @ [K'M, M]`` transpose variant
+measured slightly worse, 38.3 ms).
 
-Scope: V = 1, state transfer or unitary mode (any taylor_scaling —
+The column axis is zero-padded to a multiple of 128 (when C >= 64): the
+stacked operand's lane tiles are then always full, removing the measured
+12% data-formatting share at S=64 (PERF.md seed-scaling section) —
+padded columns carry zero state and zero weights and are sliced off
+before the fidelity/penalty reductions.
+
+Scope: V <= 8 concerned vectors (coherent inner_product_2D group
+fidelity), state transfer or unitary mode (any taylor_scaling —
 squarings run as repeated pre-scaled Taylor applications to the state
-block, so no per-seed matrices exist), pulse-only penalties,
-constant-weight extra sweep channels.  Used by make_batched_runner as
-the large-dim backend where the fused kernels don't fit in VMEM.
+block, so no per-seed matrices exist), pulse-only penalties PLUS the
+forbidden-state occupation penalties (computed from static projection
+rows inside the scan carry — dressed rotation folded in host-side,
+regularization_functions.py:71-85 via ops/pallas_mega.forbidden_static);
+constant-weight extra sweep channels.  speed_up remains on the vmapped
+generic backend.  Used by make_batched_runner as the large-dim backend
+where the fused kernels don't fit in VMEM.
 """
 
 from __future__ import annotations
@@ -32,17 +44,25 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.costs import CostContext, total_reg_cost
-from ..models.forward import INTER_VEC_COSTS
 from ..models.system import ControlProblem
 
 HI = lax.Precision.HIGHEST
 
+_FORB_KEYS = ("forbidden_coeff_list", "forbidden",
+              "states_forbidden_list", "forbid_dressed")
+
 
 def xla_cols_supported(problem: ControlProblem,
                        reg_coeffs: Optional[dict]) -> bool:
-    if problem.initial_vectors.shape[1] != 1:
+    rc = reg_coeffs or {}
+    if problem.initial_vectors.shape[1] > 8:
         return False
-    return not any(k in (reg_coeffs or {}) for k in INTER_VEC_COSTS)
+    if "speed_up" in rc:
+        return False
+    if any(k in rc for k in ("forbidden_coeff_list", "forbidden")) \
+            and not problem.use_inter_vecs:
+        return False
+    return True
 
 
 def make_xla_batched_loss(
@@ -56,9 +76,12 @@ def make_xla_batched_loss(
     ``extra_channel_mats`` ([E, 2N, 2N] real iso) adds fixed operator
     channels with constant per-seed weights ``extra_weights [S, E]``.
     ``remat`` checkpoints each scan step (recompute-in-backward — the
-    trajectory at [T, M, S] would otherwise dominate HBM for large M).
+    trajectory at [T, M, C] would otherwise dominate HBM for large M).
     """
+    from ..ops.pallas_mega import forbidden_static
+
     p = problem
+    rc = reg_coeffs or {}
     mats_list = [jnp.asarray(p.mats)]
     if extra_channel_mats is not None:
         mats_list.append(jnp.asarray(extra_channel_mats, dtype=jnp.float32))
@@ -68,14 +91,23 @@ def make_xla_batched_loss(
     # horizontal stack [M, K'M] with mats_h[i, k*M+j] = mats[k, i, j]: one
     # deep-contraction matmul per Taylor term (see module docstring)
     mats_h = jnp.reshape(jnp.transpose(mats, (1, 0, 2)), (M, Kp * M))
-    psi0 = jnp.asarray(p.initial_vectors)              # [M, 1]
+    psi0 = jnp.asarray(p.initial_vectors)              # [M, V]
     if not p.state_transfer:
         psi0 = jnp.matmul(jnp.asarray(p.U0_iso), psi0, precision=HI)
-    tgt = jnp.asarray(p.target_vectors)                # [M, 1]
+    tgt = jnp.asarray(p.target_vectors)                # [M, V]
+    V = psi0.shape[1]
     max_amp = jnp.asarray(p.ops_max_amp)
     one_minus_gauss = jnp.asarray(p.one_minus_gauss)
     N = p.state_num
     T = p.steps
+    # forbidden-state penalty statics: per-term (alpha, projection rows)
+    # with the optional dressed rotation folded in host-side
+    forb, forb_c0 = forbidden_static(p, rc)
+    if forb:
+        f_alphas = jnp.asarray([f[0] for f in forb], dtype=jnp.float32)
+        f_rows_s = jnp.asarray([f[1] for f in forb], dtype=jnp.float32)
+        f_rows_ns = jnp.asarray([f[2] for f in forb], dtype=jnp.float32)
+    pulse_rc = {k: v for k, v in rc.items() if k not in _FORB_KEYS}
     # matvec truncation (powers 0..order-1) for state transfer; unitary
     # mode keeps powers 0..taylor_terms (pallas_batch convention).  With
     # taylor_scaling s > 0, exp(A) = Taylor(A/2^s)^(2^s)
@@ -90,6 +122,10 @@ def make_xla_batched_loss(
     def batched_loss(u_bases: jnp.ndarray,
                      extra_weights: Optional[jnp.ndarray] = None):
         S = u_bases.shape[0]
+        C = S * V
+        # pad the column axis to full 128-lane tiles (zero state + zero
+        # weights; sliced off before the reductions)
+        Cp = C + ((-C) % 128 if C >= 64 else 0)
         ops_weight = jnp.sin(u_bases)                          # [S, Kc, T]
         amps = max_amp[None, :, None] * ops_weight
         chans = [jnp.ones((S, 1, T), dtype=amps.dtype), amps]
@@ -99,41 +135,154 @@ def make_xla_batched_loss(
                 (S, extra_weights.shape[1], T)))
         w = jnp.concatenate(chans, axis=1)                     # [S, K', T]
         w_t = jnp.transpose(w, (2, 1, 0))                      # [T, K', S]
+        if V > 1:
+            w_t = jnp.repeat(w_t, V, axis=2)                   # [T, K', C]
+        if Cp != C:
+            w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, Cp - C)))
+        psi_cols = jnp.tile(psi0, (1, S))                      # [M, C]
+        if Cp != C:
+            psi_cols = jnp.pad(psi_cols, ((0, 0), (0, Cp - C)))
+        pen0 = jnp.zeros((Cp,), dtype=jnp.float32)
 
-        def step(psi, wt):                                     # psi [M, S]
+        def step(carry, wt):                                   # psi [M, Cp]
+            psi, pen = carry
             for _ in range(reps):
                 acc = psi
                 pn = psi
                 for n in range(1, order):
-                    # stacked[k*M+j, s] = pn[j, s] * wt[k, s]
+                    # stacked[k*M+j, c] = pn[j, c] * wt[k, c]
                     stacked = jnp.reshape(pn[None, :, :] * wt[:, None, :],
-                                          (Kp * M, S))
+                                          (Kp * M, Cp))
                     pn = jnp.matmul(mats_h, stacked, precision=HI) \
                         * (csc / n)
                     acc = acc + pn
                 psi = acc
-            return psi, None
+            if forb:
+                # level populations of the (possibly dressed) forbidden
+                # rows at this timestep, accumulated as sum_t pop^2
+                phi_s = jnp.matmul(f_rows_s, psi, precision=HI)
+                phi_ns = jnp.matmul(f_rows_ns, psi, precision=HI)
+                pop = phi_s * phi_s + phi_ns * phi_ns          # [F, Cp]
+                pen = pen + jnp.sum(
+                    f_alphas[:, None] * 0.5 * pop * pop, axis=0)
+            return (psi, pen), None
 
         body = jax.checkpoint(step) if remat else step
-        final, _ = lax.scan(body, jnp.tile(psi0, (1, S)), w_t)
+        (final, pen), _ = lax.scan(body, (psi_cols, pen0), w_t)
+        final = final[:, :C]
 
-        a, b = final[:N, :], final[N:, :]
-        c, d = tgt[:N, 0:1], tgt[N:, 0:1]
-        re = jnp.sum(a * c + b * d, axis=0)
-        im = jnp.sum(b * c - a * d, axis=0)
-        fid_losses = 1.0 - (re * re + im * im)
+        # coherent group fidelity over each seed's V columns
+        # (get_inner_product_2D, tensorflow_state.py:282-300)
+        a = final[:N, :].reshape(N, S, V)
+        b = final[N:, :].reshape(N, S, V)
+        c, d = tgt[:N, :], tgt[N:, :]
+        re = jnp.einsum("nsv,nv->s", a, c) + jnp.einsum("nsv,nv->s", b, d)
+        im = jnp.einsum("nsv,nv->s", b, c) - jnp.einsum("nsv,nv->s", a, d)
+        fid_losses = 1.0 - (re * re + im * im) * (1.0 / (V * V))
 
         reg_losses = fid_losses
-        if reg_coeffs:
+        if forb:
+            pen_seed = jnp.sum(pen[:C].reshape(S, V), axis=1) + forb_c0
+            reg_losses = reg_losses + pen_seed
+        if pulse_rc:
             def seed_reg(w_s):
                 ctx = CostContext(
                     ops_weight=w_s, inter_vecs=None, target_vecs=tgt,
                     state_num=N, steps=T, dt=p.dt, total_time=p.total_time,
                     one_minus_gauss=one_minus_gauss, v_sorted_iso=None,
                 )
-                return total_reg_cost(ctx, reg_coeffs)
+                return total_reg_cost(ctx, pulse_rc)
 
-            reg_losses = fid_losses + jax.vmap(seed_reg)(ops_weight)
+            reg_losses = reg_losses + jax.vmap(seed_reg)(ops_weight)
         return reg_losses, fid_losses
 
     return batched_loss
+
+
+def make_xla_cols_sharded_runner(
+    problem: ControlProblem,
+    conv,
+    mesh,
+    reg_coeffs: Optional[dict] = None,
+    extra_channel_mats: Optional[np.ndarray] = None,
+):
+    """shard_map'd fixed-count Adam segments on the column-batched loss —
+    the pod-scale execution path for LARGE-dim sweeps (BASELINE config 5).
+
+    Every device runs ``n`` complete Adam iterations on its LOCAL seed
+    shard with ZERO collectives: seeds are independent, all state is
+    seed-sharded, and (unlike the while_loop driver in batch.py, whose
+    cross-seed ``any(~done)`` adds one scalar all-reduce per iteration)
+    the fixed-count segment never communicates.  Multi-host pods work the
+    same way after ``jax.distributed.initialize`` — each host launches
+    its own shard.
+
+    Returns ``run(u_bases [S, K, T], n, extra_weights [S, E] | None) ->
+    (u' [S, K, T], losses [S], reg_losses [S])`` with the batch.py body's
+    metric convention (losses evaluated at the pre-update iterate of the
+    final iteration).  The jitted segment is cached per (n, S).
+    """
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..optim.adam import make_adam_optimizer
+
+    batched_loss = make_xla_batched_loss(
+        problem, reg_coeffs, extra_channel_mats=extra_channel_mats)
+    optimizer = make_adam_optimizer(conv)
+    axis = mesh.axis_names[0]
+    have_ew = extra_channel_mats is not None
+    _cache: dict = {}
+
+    def _seg(n: int):
+        if n in _cache:
+            return _cache[n]
+
+        def local_seg(u_loc, ew_loc):
+            ew = ew_loc if have_ew else None
+            opt_state = optimizer.init(u_loc)
+
+            def total(x):
+                regs, fids = batched_loss(x, ew)
+                return jnp.sum(regs), (regs, fids)
+
+            def body(i, carry):
+                u, os_, _, _ = carry
+                (_, (regs, fids)), g = jax.value_and_grad(
+                    total, has_aux=True)(u)
+                updates, os_ = optimizer.update(g, os_, u)
+                return (optax.apply_updates(u, updates), os_, fids, regs)
+
+            z = jnp.zeros((u_loc.shape[0],), dtype=jnp.float32)
+            u, _, fids, regs = lax.fori_loop(
+                0, n, body, (u_loc, opt_state, z, z))
+            return u, fids, regs
+
+        specs_in = (P(axis), P(axis) if have_ew else P(axis))
+        fn = jax.jit(jax.shard_map(
+            local_seg, mesh=mesh,
+            in_specs=specs_in,
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        ))
+        _cache[n] = fn
+        return fn
+
+    def run(u_bases, n: int, extra_weights=None):
+        shard = NamedSharding(mesh, P(axis))
+        u = jax.device_put(jnp.asarray(u_bases, dtype=jnp.float32), shard)
+        if have_ew:
+            ew = jax.device_put(
+                jnp.asarray(extra_weights, dtype=jnp.float32), shard)
+        else:
+            # dummy sharded operand keeps the signature static
+            ew = jax.device_put(
+                jnp.zeros((u.shape[0], 1), dtype=jnp.float32), shard)
+        return _seg(int(n))(u, ew)
+
+    run.lower_segment = lambda u_bases, n, extra_weights=None: _seg(
+        int(n)).lower(
+            jnp.asarray(u_bases, dtype=jnp.float32),
+            jnp.asarray(extra_weights, dtype=jnp.float32) if have_ew
+            else jnp.zeros((np.shape(u_bases)[0], 1), dtype=jnp.float32))
+    return run

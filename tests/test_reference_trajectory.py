@@ -239,3 +239,167 @@ def test_reference_mode_unitary_gradient_matches_numpy():
     assert np.isclose(float(out.loss), loss_np, atol=1e-5)
     scale = max(np.max(np.abs(g_np)), 1e-8)
     assert np.max(np.abs(g_dev - g_np)) / scale < 1e-4
+
+
+def numpy_exact_unitary_grad(problem, u_base):
+    """EXACT float64 gradient through the full unitary-mode forward —
+    Taylor series AND the scaling-squaring branch (the one code path
+    unique to scaling>0 configs like CNOT).  Hand-derived adjoints:
+    squarings E_{j+1} = E_j E_j backprop as
+    Ebar_j = Ebar_{j+1} E_j^T + E_j^T Ebar_{j+1}; the Taylor polynomial
+    backprops via Xbar = sum_n (1/n!) sum_{a+b=n-1} (X^T)^a Ebar (X^T)^b.
+    This is the float64 oracle for BOTH exact-gradient engines (mega
+    kernel and XLA scan)."""
+    p = problem
+    mats = np.asarray(p.mats, dtype=np.float64)
+    U0 = np.asarray(p.U0_iso, np.float64)
+    psi0 = np.asarray(p.initial_vectors, np.float64)
+    tgt = np.asarray(p.target_vectors, np.float64)
+    maxA = np.asarray(p.ops_max_amp, np.float64)
+    order, scaling = p.taylor_terms, p.taylor_scaling
+    N = p.state_num
+    V = psi0.shape[1]
+    T = p.steps
+    M = mats.shape[-1]
+    w = np.concatenate(
+        [np.ones((1, T)), maxA[:, None] * np.sin(u_base)], axis=0)
+
+    fact = [1.0]
+    for n in range(1, order + 1):
+        fact.append(fact[-1] * n)
+
+    def fwd_one(A):
+        X = A / (2.0 ** scaling)
+        Xp = [np.eye(M)]
+        for n in range(1, order + 1):
+            Xp.append(X @ Xp[-1])
+        E = sum(Xp[n] / fact[n] for n in range(order + 1))
+        Es = [E]
+        for _ in range(scaling):
+            Es.append(Es[-1] @ Es[-1])
+        return Xp, Es
+
+    P, saved = [], []
+    for t in range(T):
+        A = np.einsum("k,kij->ij", w[:, t], mats)
+        Xp, Es = fwd_one(A)
+        saved.append((Xp, Es))
+        P.append(Es[-1])
+
+    R = [U0]
+    for t in range(T):
+        R.append(P[t] @ R[t])
+    final = R[-1]
+    L = [np.eye(M)]
+    for t in range(T - 1, -1, -1):
+        L.insert(0, L[0] @ P[t])
+    lefts = L[1:]
+
+    fv = final @ psi0
+    a, b = fv[:N], fv[N:]
+    c, d = tgt[:N], tgt[N:]
+    Rr = np.sum(a * c + b * d)
+    Ii = np.sum(b * c - a * d)
+    loss = 1.0 - (Rr * Rr + Ii * Ii) / (V * V)
+    Gv = np.zeros_like(fv)
+    Gv[:N] = -(2 * Rr * c - 2 * Ii * d) / (V * V)
+    Gv[N:] = -(2 * Rr * d + 2 * Ii * c) / (V * V)
+    Fbar = Gv @ psi0.T
+
+    wbar = np.zeros_like(w)
+    for t in range(T):
+        Pbar = lefts[t].T @ Fbar @ R[t].T
+        Xp, Es = saved[t]
+        Ebar = Pbar
+        for j in range(scaling - 1, -1, -1):
+            E = Es[j]
+            Ebar = Ebar @ E.T + E.T @ Ebar
+        Xbar = np.zeros((M, M))
+        for n in range(1, order + 1):
+            for a_ in range(n):
+                Xbar += (Xp[a_].T @ Ebar @ Xp[n - 1 - a_].T) / fact[n]
+        Abar = Xbar / (2.0 ** scaling)
+        for k in range(1, len(mats)):
+            wbar[k, t] = np.sum(Abar * mats[k])
+    ubar = wbar[1:] * maxA[:, None] * np.cos(u_base)
+    return loss, ubar
+
+
+def _cnot_problem(steps):
+    CNOT = np.eye(4, dtype=complex)
+    CNOT[2:, 2:] = [[0, 1], [1, 0]]
+    XI = np.kron(q.SIGMA_X, np.eye(2))
+    IX = np.kron(np.eye(2), q.SIGMA_X)
+    ZZ = np.kron(q.SIGMA_Z, q.SIGMA_Z)
+    return ControlProblem.build(
+        np.zeros((4, 4), dtype=complex), [XI, IX, ZZ], ["xi", "ix", "zz"],
+        CNOT, 10.0, steps, [0, 1, 2, 3],
+        maxA=[1.0] * 3, seed=1, Taylor_terms=[8, 2],
+    )
+
+
+def test_exact_unitary_scaling_gradient_matches_float64():
+    """Iteration-0 exact gradient at a CNOT-class point (V=4, scaling=2):
+    the XLA scan engine vs the hand-derived float64 squaring-branch
+    adjoint.  A systematic engine bug in the squaring backprop would show
+    here directly, independent of trajectory chaos."""
+    problem = _cnot_problem(steps=40)
+    u0 = np.asarray(problem.u0_base, np.float64)
+    loss_np, g_np = numpy_exact_unitary_grad(problem, u0)
+
+    _, loss_fn = make_forward(problem, engine="scan", lean=True)
+    loss_dev, out = loss_fn(jnp.asarray(problem.u0_base))
+    g_dev = np.asarray(
+        jax.grad(lambda u: loss_fn(u)[0])(jnp.asarray(problem.u0_base)))
+    assert np.isclose(float(out.loss), loss_np, atol=1e-5)
+    scale = max(np.max(np.abs(g_np)), 1e-8)
+    assert np.max(np.abs(g_dev - g_np)) / scale < 1e-4
+
+
+@pytest.mark.slow
+def test_exact_unitary_scaling_trajectory_cnot_scale():
+    """CNOT-scale (steps=1000, V=4, taylor_scaling=2) Adam TRAJECTORY vs
+    the float64 oracle: several full iterations through the squaring
+    branch.  Both float32 engines must track the float64 trajectory to
+    rounding accumulation — bounding any systematic squaring-branch
+    discrepancy far below the chaotic long-horizon uks spread analyzed in
+    PARITY.md."""
+    problem = _cnot_problem(steps=1000)
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.01, "update_step": 1, "max_iterations": 10 ** 6,
+         "conv_target": -1.0, "min_grad": -1.0})
+    n = 4
+
+    # float64 oracle trajectory (exact gradient + Adam + LR decay)
+    u = np.asarray(problem.u0_base, np.float64)
+    m = np.zeros_like(u)
+    v = np.zeros_like(u)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for i in range(n):
+        _, g = numpy_exact_unitary_grad(problem, u)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        lr = conv.rate * np.exp(-i / conv.learning_rate_decay)
+        mh = m / (1 - b1 ** (i + 1))
+        vh = v / (1 - b2 ** (i + 1))
+        u = u - lr * mh / (np.sqrt(vh) + eps)
+
+    # engine 1: XLA scan
+    _, loss_fn = make_forward(problem, engine="scan", lean=True)
+    optimizer = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, optimizer)
+    s = run_seg(init_adam_state(problem.u0_base, optimizer),
+                jnp.asarray(n, dtype=jnp.int32))
+    dev_scan = np.max(np.abs(np.asarray(s.u_base) - u))
+
+    # engine 2: fused mega kernel (interpret mode on CPU)
+    from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
+
+    init_m, run_m, unpad = make_mega_segment_runner(problem, conv)
+    sm = run_m(init_m(problem.u0_base), n)
+    dev_mega = np.max(np.abs(unpad(sm.u_base) - u))
+
+    # float32 rounding over 4 iterations stays ~1e-6..1e-5; a squaring
+    # engine bug would put one engine orders beyond the other
+    assert dev_scan < 5e-5, dev_scan
+    assert dev_mega < 5e-5, dev_mega

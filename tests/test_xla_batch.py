@@ -32,8 +32,11 @@ def _problem(levels=5, steps=12):
 
 def test_supported():
     assert xla_cols_supported(_problem(), None)
-    assert not xla_cols_supported(_problem(), {"forbidden_coeff_list": [1.0],
-                                               "states_forbidden_list": [2]})
+    # forbidden-state penalties are in-path since round 4 (scan-carry
+    # projections); speed_up still routes to the vmapped generic backend
+    assert xla_cols_supported(_problem(), {"forbidden_coeff_list": [1.0],
+                                           "states_forbidden_list": [2]})
+    assert not xla_cols_supported(_problem(), {"speed_up": 0.1})
 
 
 def test_matches_per_seed_forward():
@@ -121,3 +124,181 @@ def test_batched_grape_adam_xla_cols_backend():
     )
     np.testing.assert_allclose(out["losses"], ref["losses"], atol=1e-4)
     np.testing.assert_allclose(out["uks"], ref["uks"], atol=1e-3)
+
+
+def test_forbidden_in_cols_matches_per_seed_forward():
+    """Forbidden-state penalties on the column-batched path (scan-carry
+    projection rows): per-seed reg losses and gradients match the generic
+    forward with inter_vecs (regularization_functions.py:71-85)."""
+    problem = _problem()
+    rc = {"forbidden_coeff_list": [6.0, 3.0], "states_forbidden_list": [2, 3],
+          "amplitude": 0.05}
+    assert xla_cols_supported(problem, rc)
+    S = 3
+    u = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(4)))
+    batched = make_xla_batched_loss(problem, rc)
+    reg_l, fid_l = batched(jnp.asarray(u))
+
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    gb = jax.grad(lambda x: jnp.sum(batched(x)[0]))(jnp.asarray(u))
+    for s in range(S):
+        want, out = loss_fn(jnp.asarray(u[s]))
+        np.testing.assert_allclose(float(reg_l[s]), float(want), atol=1e-5)
+        np.testing.assert_allclose(float(fid_l[s]), float(out.loss),
+                                   atol=1e-5)
+        gs = jax.grad(lambda x: loss_fn(x)[0])(jnp.asarray(u[s]))
+        np.testing.assert_allclose(np.asarray(gb[s]), np.asarray(gs),
+                                   atol=2e-5)
+
+
+def test_forbidden_dressed_in_cols():
+    """forbid_dressed folds the eigenbasis rotation into the projection
+    rows on the column path too."""
+    a = q.annihilate(4)
+    H0 = (2 * np.pi * 0.1 * np.diag(np.arange(4.0))
+          + 2 * np.pi * 0.02 * (a + a.conj().T))
+    w_c, v_c, dressed_id = q.get_dressed_info(H0)
+    di = {"eigenvectors": v_c, "eigenvalues": np.real(w_c),
+          "dressed_id": dressed_id, "is_dressed": True}
+    psi0 = v_c[:, q.get_state_index(0, dressed_id)]
+    tgt = v_c[:, q.get_state_index(1, dressed_id)]
+    problem = ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        3.0, 10, [psi0], state_transfer=True, dressed_info=di,
+        maxA=[1.0, 1.0], seed=0,
+    )
+    rc = {"forbidden_coeff_list": [5.0], "states_forbidden_list": [3],
+          "forbid_dressed": True}
+    assert xla_cols_supported(problem, rc)
+    S = 2
+    u = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(6)))
+    batched = make_xla_batched_loss(problem, rc)
+    reg_l, _ = batched(jnp.asarray(u))
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    for s in range(S):
+        want, _ = loss_fn(jnp.asarray(u[s]))
+        np.testing.assert_allclose(float(reg_l[s]), float(want), atol=1e-5)
+
+
+def test_multi_vector_cols_matches_per_seed_forward():
+    """V=2 concerned vectors on the column path: coherent group fidelity
+    and gradients match the per-seed forward (unitary mode, scaling>0)."""
+    a = q.annihilate(3)
+    problem = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, 12, [0, 1],
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+    )
+    assert problem.initial_vectors.shape[1] == 2
+    assert xla_cols_supported(problem, None)
+    S = 3
+    u = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(2)))
+    batched = make_xla_batched_loss(problem)
+    _, fid_l = batched(jnp.asarray(u))
+    _, loss_fn = make_forward(problem, lean=True, engine="scan")
+    gb = jax.grad(lambda x: jnp.sum(batched(x)[0]))(jnp.asarray(u))
+    for s in range(S):
+        want, _ = loss_fn(jnp.asarray(u[s]))
+        np.testing.assert_allclose(float(fid_l[s]), float(want), atol=1e-5)
+        gs = jax.grad(lambda x: loss_fn(x)[0])(jnp.asarray(u[s]))
+        np.testing.assert_allclose(np.asarray(gb[s]), np.asarray(gs),
+                                   atol=2e-5)
+
+
+def test_column_padding_invariance():
+    """Results are independent of the lane padding: S=64 (padded to 128
+    columns) equals the first 64 seeds of an S=128 run, and a small
+    unpadded batch (C < 64) matches the per-seed forward."""
+    problem = _problem(levels=3, steps=8)
+    batched = make_xla_batched_loss(problem)
+    u128 = np.asarray(init_seeds(problem, 128, jax.random.PRNGKey(9)))
+    r128, f128 = batched(jnp.asarray(u128))
+    r64, f64 = batched(jnp.asarray(u128[:64]))
+    np.testing.assert_allclose(np.asarray(f64), np.asarray(f128)[:64],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r64), np.asarray(r128)[:64],
+                               atol=1e-6)
+
+
+def test_sharded_cols_runner_matches_xla_backend(eight_devices):
+    """The shard_map'd fixed-count xla-cols runner (zero collectives, the
+    pod path for large dims) reproduces the jit+NamedSharding xla backend:
+    same per-seed losses after the same iteration count, independent of
+    the mesh size."""
+    from jax.sharding import Mesh
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.parallel.xla_batch import make_xla_cols_sharded_runner
+
+    problem = _problem(levels=3, steps=10)
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.05, "update_step": 100, "max_iterations": 10 ** 6,
+         "conv_target": -1.0})
+    S = 16
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(11)))
+
+    ref = None
+    for D in (1, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:D]), ("seed",))
+        run = make_xla_cols_sharded_runner(problem, conv, mesh)
+        u, fids, regs = run(u0, 6)
+        if ref is None:
+            ref = (np.asarray(u), np.asarray(fids))
+        else:
+            np.testing.assert_allclose(np.asarray(u), ref[0], atol=1e-6)
+            np.testing.assert_allclose(np.asarray(fids), ref[1], atol=1e-6)
+
+    # against the while_loop xla backend (metrics at the pre-update
+    # iterate of the last iteration, batch.py body convention)
+    from qoc_tpu.parallel.batch import make_batched_runner
+
+    init_x, run_x = make_batched_runner(problem, conv, backend="xla")
+    sx = run_x(init_x(jnp.asarray(u0)), jnp.asarray(6, dtype=jnp.int32),
+               None)
+    np.testing.assert_allclose(ref[1], np.asarray(sx.loss), atol=1e-5)
+
+
+def test_sharded_cols_runner_with_sweep_and_forbidden(eight_devices):
+    """Sharded xla-cols with extra detuning channels AND a forbidden-level
+    penalty — the exact program shape of the config-5 pod sweep."""
+    from jax.sharding import Mesh
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.parallel.xla_batch import make_xla_cols_sharded_runner
+
+    problem = _problem(levels=4, steps=8)
+    rc = {"forbidden_coeff_list": [4.0], "states_forbidden_list": [3]}
+    extra = np.stack([np.asarray(
+        q.c_to_r_mat(-1j * problem.dt * np.diag(np.arange(4.0))))])
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.05, "update_step": 100, "max_iterations": 10 ** 6,
+         "conv_target": -1.0})
+    S = 8
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(12)))
+    ew = np.linspace(-0.2, 0.2, S)[:, None].astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seed",))
+    run = make_xla_cols_sharded_runner(problem, conv, mesh, reg_coeffs=rc,
+                                       extra_channel_mats=extra)
+    u, fids, regs = run(u0, 4, extra_weights=ew)
+    assert np.all(np.isfinite(np.asarray(regs)))
+    assert np.all(np.asarray(regs) >= np.asarray(fids) - 1e-7)
+
+    # single-device reference through the plain batched loss + optax
+    import optax
+    from qoc_tpu.optim.adam import make_adam_optimizer
+
+    batched = make_xla_batched_loss(problem, rc, extra_channel_mats=extra)
+    opt = make_adam_optimizer(conv)
+    u_ref = jnp.asarray(u0)
+    os_ = opt.init(u_ref)
+    for _ in range(4):
+        (_, (regs_r, fids_r)), g = jax.value_and_grad(
+            lambda x: (lambda r: (jnp.sum(r[0]), r))(
+                batched(x, jnp.asarray(ew))), has_aux=True)(u_ref)
+        upd, os_ = opt.update(g, os_, u_ref)
+        u_ref = optax.apply_updates(u_ref, upd)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(regs), np.asarray(regs_r),
+                               atol=1e-5)

@@ -115,6 +115,54 @@ def collective_count_in_sharded_segment(n_devices: int) -> dict:
             "kinds": sorted(set(h.lower() for h in hits))}
 
 
+def _dim200_problem(steps=200):
+    """The multimode-cavity flagship (qubit x 100-level cavity, dim 200):
+    the exact problem class BASELINE config 5 runs through xla-cols."""
+    from qoc_tpu.models.system import ControlProblem
+
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(200, complex)
+    psi0[0] = 1
+    tgt = np.zeros(200, complex)
+    tgt[100] = 1
+    return ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, steps, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0)
+
+
+def collective_count_in_xla_cols_segment(n_devices: int,
+                                         steps: int = 200) -> dict:
+    """Lower the shard_map'd xla-cols segment — the EXACT backend the
+    dim-200 pod sweep (BASELINE config 5) uses — on the real multimode
+    cavity problem and count collective HLO ops.  Expected 0: the
+    fixed-count runner never crosses the seed shards (the in-scan sums
+    are local, the grad of the local sum is a broadcast)."""
+    import jax
+    from jax.sharding import Mesh
+    from qoc_tpu.optim.convergence import ConvergenceSettings
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.xla_batch import make_xla_cols_sharded_runner
+
+    problem = _dim200_problem(steps)
+    conv = ConvergenceSettings.from_dict(
+        {"rate": 0.01, "update_step": 100, "max_iterations": 10 ** 6,
+         "conv_target": -1.0})
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("seed",))
+    run = make_xla_cols_sharded_runner(problem, conv, mesh)
+    S = 2 * n_devices
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(0)))
+    hlo = run.lower_segment(u0, 3).compile().as_text()
+    hits = COLLECTIVE_RE.findall(hlo)
+    return {"n_devices": n_devices, "backend": "xla-cols", "dim": 200,
+            "hlo_collective_ops": len(hits),
+            "kinds": sorted(set(h.lower() for h in hits))}
+
+
 def weak_scaling_identity(max_devices: int = 8) -> dict:
     """Per-seed results at N devices == single-device results, N in
     {1,2,4,8} (virtual CPU mesh)."""
@@ -218,6 +266,9 @@ def main():
         nd = len(jax.devices())
         report["collectives"] = [collective_count_in_sharded_segment(d)
                                  for d in (2, max(2, min(8, nd)))]
+        report["collectives_xla_cols_dim200"] = [
+            collective_count_in_xla_cols_segment(d)
+            for d in (2, max(2, min(8, nd)))]
         report["weak_scaling"] = weak_scaling_identity(min(8, nd))
     print(json.dumps(report, indent=1))
 
