@@ -273,6 +273,137 @@ def cavity_costs_iters_per_sec(device, n_iters=200):
     return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
 
 
+def cavity_dim60_iters_per_sec(device, n_iters=150):
+    """BASELINE config 4 AT SPEC (dim 60 >= 50): the examples/jobs/
+    transmon_cavity.json system — 3-level transmon x 20-level cavity in
+    the qubit rotating frame, dressed basis, qubit+cavity drives, dwdt +
+    bandpass + speed_up costs, 1000 steps."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "examples", "jobs"))
+    from make_transmon_cavity import MAXA, STEPS, TOTAL_TIME, build_system
+
+    H0, Hops, Hnames = build_system()
+    w_c, v_c, dressed_id = q.get_dressed_info(H0)
+    psi0 = v_c[:, q.get_state_index(0, dressed_id)]
+    tgt = v_c[:, q.get_state_index(1, dressed_id)]
+    problem = ControlProblem.build(
+        H0, Hops, Hnames, [tgt], TOTAL_TIME, STEPS, [psi0],
+        state_transfer=True,
+        dressed_info={"eigenvectors": v_c, "eigenvalues": np.real(w_c),
+                      "dressed_id": dressed_id, "is_dressed": True},
+        maxA=[MAXA] * 4, seed=0,
+    )
+    rc = {"dwdt": 0.0001, "bandpass": 0.1, "band": [0.1, 10.0],
+          "speed_up": 0.0001}
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="auto",
+                              reg_coeffs=rc)
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jax.device_put(jnp.asarray(problem.u0_base), device)
+    os0 = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)),
+                         device)
+    _sync(run_n(u, os0, 3)[0])
+    return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
+
+
+def cnot_reg_batched_seediters(n_seeds=128, n_iters=60):
+    """Batched CNOT-class sweep (BASELINE config 2) WITH config 2's own
+    smoothness + envelope reg_coeffs on the fused batched kernel — the
+    round-4 capability (pulse costs in-kernel; previously this fell off
+    the fused path to the vmapped generic backend)."""
+    import jax
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.pallas_mega_batch import (
+        batched_mega_supported, make_mega_batched_runner)
+
+    import qoc_tpu as q
+
+    CNOT = np.eye(4, dtype=complex)
+    CNOT[2:, 2:] = [[0, 1], [1, 0]]
+    XI = np.kron(q.SIGMA_X, np.eye(2))
+    IX = np.kron(np.eye(2), q.SIGMA_X)
+    ZZ = np.kron(q.SIGMA_Z, q.SIGMA_Z)
+    problem = ControlProblem.build(
+        np.zeros((4, 4), dtype=complex), [XI, IX, ZZ], ["xi", "ix", "zz"],
+        CNOT, 10.0, 1000, [0, 1, 2, 3], maxA=[1.0] * 3, seed=0,
+        Taylor_terms=[8, 2],
+    )
+    rc = {"dwdt": 0.01, "envelope": 0.1}
+    assert batched_mega_supported(problem, rc)
+    conv = _conv()
+    init_state, run_n, _ = make_mega_batched_runner(
+        problem, conv, throughput=True, reg_coeffs=rc)
+    u0 = np.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
+    st = run_n(init_state(u0), n_iters)
+    np.asarray(st.losses)      # compile + drain
+    return _measure(lambda: np.asarray(run_n(st, n_iters).losses),
+                    n_seeds * n_iters)
+
+
+def dim200_grid_4096_seediters(n_seeds=4096, n_iters=20):
+    """BASELINE config 5 AT SPEC: 4096 parallel seeds x detuning grid on
+    the dim-200 multimode cavity through the column-batched xla-cols path
+    (a cavity-frequency detuning as a constant extra channel per seed)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.ops.isomorphism import c_to_r_mat
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.xla_batch import make_xla_batched_loss
+
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(2 * Nc, complex)
+    psi0[0] = 1
+    tgt = np.zeros(2 * Nc, complex)
+    tgt[Nc] = 1
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0,
+    )
+    extra = np.stack([c_to_r_mat(
+        -1j * problem.dt * np.asarray(a.conj().T @ a))]).astype(np.float32)
+    deltas = np.linspace(-0.1, 0.1, n_seeds)[:, None].astype(np.float32)
+    conv = _conv()
+    batched_loss = make_xla_batched_loss(problem, extra_channel_mats=extra)
+    opt = make_adam_optimizer(conv)
+    grad_all = jax.grad(lambda u, ew: jnp.sum(batched_loss(u, ew)[0]))
+
+    @jax.jit
+    def run_n(u, os_, ew, n):
+        def body(_, c):
+            u, os_ = c
+            g = grad_all(u, ew)
+            upd, os_ = jax.vmap(opt.update)(g, os_, u)
+            return (jax.vmap(optax.apply_updates)(u, upd), os_)
+
+        return jax.lax.fori_loop(0, n, body, (u, os_))
+
+    u = jnp.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
+    ew = jnp.asarray(deltas)
+    os0 = jax.vmap(opt.init)(u)
+    _sync(run_n(u, os0, ew, 2)[0])
+    return _measure(lambda: _sync(run_n(u, os0, ew, n_iters)[0]),
+                    n_seeds * n_iters)
+
+
 def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     """Aggregate (seeds x iterations)/sec through the fused Pallas batch
     kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
@@ -498,13 +629,22 @@ def main():
                else batched_iters_per_sec(primary))
 
     d64 = rec("dim64_unitary", dim64_iters_per_sec(primary))
-    d200 = (rec("dim200_cavity_64seed", dim200_sweep_iters_per_sec())
-            if is_tpu else 0.0)
-    # S=128 fills the 128-lane MXU output tiles (PERF.md seed scaling)
+    # S >= 128 fills the 128-lane MXU output tiles and is the HEADLINE
+    # dim-200 configuration (PERF.md seed scaling; VERDICT r3 weak #4);
+    # the 64-seed window is kept for cross-round comparability (its
+    # columns are internally zero-padded to 128 lanes since round 4)
     d200_128 = (rec("dim200_cavity_128seed",
                     dim200_sweep_iters_per_sec(n_seeds=128))
                 if is_tpu else 0.0)
+    d200 = (rec("dim200_cavity_64seed", dim200_sweep_iters_per_sec())
+            if is_tpu else 0.0)
     cav = rec("cavity_costs_dim24", cavity_costs_iters_per_sec(primary))
+    cav60 = (rec("cavity_costs_dim60", cavity_dim60_iters_per_sec(primary))
+             if is_tpu else 0.0)
+    cnot_reg = (rec("cnot_reg_batched_128seed", cnot_reg_batched_seediters())
+                if is_tpu else 0.0)
+    grid4096 = (rec("dim200_4096seed_grid", dim200_grid_4096_seediters())
+                if is_tpu else 0.0)
     if is_tpu:
         leak = rec("leakage_fused", leakage_iters_per_sec(primary,
                                                           fused=True))
@@ -538,9 +678,12 @@ def main():
         "batched_1024seed_iters_per_sec": round(bips, 2),
         "dim64_unitary_iters_per_sec": round(d64, 2),
         "dim64_vs_cpu": round(d64_vs_cpu, 2),
-        "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
         "dim200_cavity_128seed_iters_per_sec": round(d200_128, 2),
+        "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
+        "dim200_4096seed_grid_seediters_per_sec": round(grid4096, 2),
+        "cavity_costs_dim60_iters_per_sec": round(cav60, 2),
         "cavity_costs_dim24_iters_per_sec": round(cav, 2),
+        "cnot_reg_batched_seediters_per_sec": round(cnot_reg, 2),
         "leakage_transmon_iters_per_sec": round(leak, 2),
         "leakage_transmon_xla_iters_per_sec": round(leak_xla, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),

@@ -1,13 +1,28 @@
 """Pod-scale seed x Hamiltonian sweep (BASELINE config 5).
 
-Thousands of parallel GRAPE optimizations — random pulse seeds crossed with
-a detuning grid — batched through the fused Pallas chain kernel and sharded
-over a jax.sharding.Mesh.  On a multi-host pod slice, initialize with
-``qoc_tpu.parallel.mesh.init_distributed()`` first; the seed axis shards
-across hosts over DCN automatically.
+Thousands of parallel GRAPE optimizations — random pulse seeds crossed
+with a Hamiltonian-parameter grid — batched through the parallel layer
+and sharded over a jax.sharding.Mesh.  On a multi-host pod slice,
+initialize with ``qoc_tpu.parallel.mesh.init_distributed()`` first; the
+seed axis shards across hosts over DCN automatically.
 
-Run (single host):  python examples/05_pod_scale_sweep.py
+Two programs:
+
+  * default: a quick demonstration sweep (512 seeds, 2x2 pi pulse,
+    detuning grid through the fused batched-optimizer kernel);
+  * ``--full``: BASELINE config 5 AT SPEC — **4096 seeds x a 64-point
+    cavity-detuning grid on the dim-200 multimode cavity** (qubit x
+    100-level cavity), optimized through the column-batched xla-cols
+    backend (parallel/xla_batch.py) with per-seed convergence freezing.
+    Writes CONFIG5_RESULTS.json: solves/s, best-seed fidelity, converged
+    count.
+
+Run:  python examples/05_pod_scale_sweep.py [--full] [--seeds N] [--iters N]
 """
+
+import argparse
+import json
+import time
 
 import numpy as np
 import jax
@@ -21,10 +36,91 @@ from qoc_tpu.models.system import ControlProblem
 from qoc_tpu.ops.isomorphism import c_to_r_mat
 from qoc_tpu.parallel.batch import batched_grape_adam, init_seeds
 from qoc_tpu.parallel.mesh import make_mesh
-from qoc_tpu.parallel.pallas_batch import make_pallas_batched_loss
 
 
-def main():
+def build_dim200():
+    """Qubit x 100-level cavity (Hilbert dim 200), qubit rotating frame."""
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(2 * Nc, complex)
+    psi0[0] = 1
+    tgt = np.zeros(2 * Nc, complex)
+    tgt[Nc] = 1
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0,
+    )
+    n_op = np.asarray(a.conj().T @ a)
+    return problem, n_op
+
+
+def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
+             conv_target=1e-4, out_json="CONFIG5_RESULTS.json"):
+    """BASELINE config 5 at spec: n_seeds (random pulse inits) x n_grid
+    (cavity detunings, repeated across the seed axis) on dim 200 through
+    the column-batched backend.  The detuning rides as one constant-weight
+    extra operator channel per seed (-1j*dt*delta*n_cavity)."""
+    problem, n_op = build_dim200()
+    extra = np.stack(
+        [c_to_r_mat(-1j * problem.dt * n_op)]).astype(np.float32)
+    # the grid repeats over the seed axis: seed s gets detuning
+    # grid[s % n_grid] — every grid point sees n_seeds/n_grid random inits
+    grid = np.linspace(-0.1, 0.1, n_grid).astype(np.float32)
+    deltas = grid[np.arange(n_seeds) % n_grid][:, None]
+
+    t0 = time.time()
+    it_hist = []
+
+    def progress(it, losses, done):
+        it_hist.append((it, float(np.min(losses)), int(np.sum(done))))
+        print(f"  iter {it}: best {np.min(losses):.2e} "
+              f"converged {int(np.sum(done))}/{n_seeds}", flush=True)
+
+    out = batched_grape_adam(
+        problem, n_seeds=n_seeds,
+        convergence={"rate": 0.02, "update_step": 50,
+                     "max_iterations": max_iterations,
+                     "conv_target": conv_target},
+        seed=0, backend="xla-cols",
+        extra_channels=(extra, deltas),
+        progress=progress,
+    )
+    wall = time.time() - t0
+    losses = out["losses"]
+    conv_count = int(np.sum(out["converged"] & (losses < conv_target)))
+    solves = n_seeds * out["iterations"]
+    best_per_grid = {
+        float(g): float(np.min(losses[np.arange(n_seeds) % n_grid == i]))
+        for i, g in enumerate(grid[:8])
+    }
+    rep = {
+        "config": "BASELINE config 5 (dim 200, 4096 seeds x detuning grid)",
+        "n_seeds": n_seeds,
+        "n_grid": n_grid,
+        "dim": problem.state_num,
+        "steps": problem.steps,
+        "iterations": out["iterations"],
+        "wall_s": round(wall, 1),
+        "seed_iters_per_sec": round(solves / wall, 1),
+        "best_loss": float(out["best_loss"]),
+        "best_fidelity": 1.0 - float(out["best_loss"]),
+        "converged_count": conv_count,
+        "converged_frac": round(conv_count / n_seeds, 4),
+        "median_loss": float(np.median(losses)),
+        "best_loss_first_8_grid_points": best_per_grid,
+    }
+    print(json.dumps(rep, indent=1))
+    with open(out_json, "w") as f:
+        json.dump(rep, f, indent=1)
+    print(f"wrote {out_json}")
+    return rep
+
+
+def run_quick():
     n_seeds = 512
     problem = ControlProblem.build(
         np.zeros((2, 2), dtype=complex), [q.SIGMA_X, q.SIGMA_Y], ["x", "y"],
@@ -64,6 +160,21 @@ def main():
     losses = np.asarray(state.losses)
     print(f"sweep after 500 iters: best {losses.min():.2e} "
           f"worst {losses.max():.2e} (detuning 0..0.2)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="run BASELINE config 5 at spec (4096 seeds, dim 200)")
+    ap.add_argument("--seeds", type=int, default=4096)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=600)
+    args = ap.parse_args()
+    if args.full:
+        run_full(n_seeds=args.seeds, n_grid=args.grid,
+                 max_iterations=args.iters)
+    else:
+        run_quick()
 
 
 if __name__ == "__main__":

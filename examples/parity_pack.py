@@ -36,7 +36,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CONFIG_NAMES = ["spin_pi", "cnot", "transmon_leakage"]
+CONFIG_NAMES = ["spin_pi", "cnot", "transmon_leakage", "transmon_cavity"]
 JOBS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs")
 
 

@@ -117,12 +117,16 @@ def make_batched_runner(
     ``backend``:
       * 'mega'   — the fused batched-OPTIMIZER kernel
         (parallel/pallas_mega_batch.py): whole Adam segments per launch
-        with in-kernel per-seed convergence freezing; ~5x 'pallas'.
+        with in-kernel per-seed convergence freezing AND in-kernel costs
+        (pulse-shape + bandpass + forbidden); ~5x 'pallas'.
       * 'pallas' — fused chain kernel per loss evaluation
         (parallel/pallas_batch.py), XLA backward + optax update.
-      * 'xla'    — vmapped generic forward.
+      * 'xla-cols' — column-batched XLA chain for LARGE dims (V <= 8,
+        forbidden + pulse costs; parallel/xla_batch.py).
+      * 'xla'    — vmapped generic forward (always available; the only
+        backend for speed_up and per-seed mats sweeps).
       * 'auto'   — mega when supported on an accelerator, else pallas,
-        else xla.
+        else xla-cols, else xla.
 
     ``extra_channel_mats`` ([E, 2N, 2N] real iso, mega/pallas backends):
     fixed operator channels whose constant per-seed weights ride the
@@ -291,14 +295,26 @@ def batched_grape_adam(
         raise ValueError("pass either mats_batch or extra_channels, not both")
     extra_mats = extra_w = None
     if extra_channels is not None:
-        # extra channels ride the fused kernels only (the xla backend has
-        # no constant-channel operand) — force a fused backend
+        # extra channels ride the fused kernels and the column-batched XLA
+        # path (the generic vmapped backend has no constant-channel
+        # operand) — force one of those
         extra_mats, extra_w = extra_channels
         if backend == "auto":
+            from .pallas_batch import pallas_batch_supported
             from .pallas_mega_batch import batched_mega_supported
+            from .xla_batch import xla_cols_supported
 
-            backend = ("mega" if batched_mega_supported(problem, reg_coeffs)
-                       else "pallas")
+            if batched_mega_supported(problem, reg_coeffs):
+                backend = "mega"
+            elif pallas_batch_supported(problem, reg_coeffs):
+                backend = "pallas"
+            elif xla_cols_supported(problem, reg_coeffs):
+                # large dims (BASELINE config 5): column-batched XLA chain
+                backend = "xla-cols"
+            else:
+                raise ValueError(
+                    "extra_channels need a fused or column-batched "
+                    "backend; this problem/cost combination supports none")
     init_state, run_segment = make_batched_runner(
         problem, conv, reg_coeffs=reg_coeffs, gradient_mode=gradient_mode,
         engine=engine, sweep_mats=sweep, mesh=mesh, backend=backend,

@@ -127,6 +127,10 @@ def flops_pi_pulse_iter(T=1000, M=4, K=3, order=3):
 # ---------------------------------------------------------------------------
 
 
+DIM200_SEEDS = 128  # headline config: S >= 128 fills the 128-lane tiles
+# (PERF.md seed scaling; the 64-seed bench window is a compat metric)
+
+
 def measure():
     import jax
     import bench
@@ -135,8 +139,10 @@ def measure():
     out = {}
     d64, d64_spread, _ = bench.dim64_iters_per_sec(dev)
     out["dim64"] = {"iters_per_sec": d64, "spread": d64_spread}
-    d200, d200_spread, _ = bench.dim200_sweep_iters_per_sec()
-    out["dim200"] = {"seed_iters_per_sec": d200, "spread": d200_spread}
+    d200, d200_spread, _ = bench.dim200_sweep_iters_per_sec(
+        n_seeds=DIM200_SEEDS)
+    out["dim200"] = {"seed_iters_per_sec": d200, "spread": d200_spread,
+                     "seeds": DIM200_SEEDS}
     pi, pi_spread, _ = bench.iters_per_sec_mega()
     out["pi_pulse"] = {"iters_per_sec": pi, "spread": pi_spread}
     return out
@@ -181,6 +187,72 @@ def trace_dim64(log_dir: str, n_iters: int = 30):
     return summarize_trace(log_dir)
 
 
+def trace_dim200(log_dir: str, n_iters: int = 20, n_seeds=None):
+    """Trace the dim-200 column-batched loop and report the
+    data-formatting share (copy/reshape/transpose/pad ops) — the r3 trace
+    showed 12% at S=64 from half-filled lane tiles; with S >= 128 (or the
+    round-4 internal padding) it should sit under 5%."""
+    import jax.numpy as jnp
+    import optax
+    import bench
+    import jax
+    from qoc_tpu.optim.adam import make_adam_optimizer
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.xla_batch import make_xla_batched_loss
+    from qoc_tpu.utils.profiling import trace
+
+    if n_seeds is None:
+        n_seeds = DIM200_SEEDS
+    # same problem as bench.dim200_sweep_iters_per_sec
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(2 * Nc, complex)
+    psi0[0] = 1
+    tgt = np.zeros(2 * Nc, complex)
+    tgt[Nc] = 1
+    from qoc_tpu.models.system import ControlProblem
+
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0)
+    conv = bench._conv()
+    batched_loss = make_xla_batched_loss(problem)
+    opt = make_adam_optimizer(conv)
+    grad_all = jax.grad(lambda u: jnp.sum(batched_loss(u)[0]))
+
+    @jax.jit
+    def run_n(u, os_, n):
+        def body(_, c):
+            u, os_ = c
+            g = grad_all(u)
+            upd, os_ = jax.vmap(opt.update)(g, os_, u)
+            return (jax.vmap(optax.apply_updates)(u, upd), os_)
+
+        return jax.lax.fori_loop(0, n, body, (u, os_))
+
+    u = jnp.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
+    os0 = jax.vmap(opt.init)(u)
+    _sync(run_n(u, os0, 2)[0])
+    with trace(log_dir):
+        _sync(run_n(u, os0, n_iters)[0])
+    summ = summarize_trace(log_dir, top=16)
+    if summ:
+        fmt = sum(r["us"] for r in summ["top"]
+                  if any(k in r["name"].lower()
+                         for k in ("copy", "reshape", "transpose", "pad",
+                                   "concatenate", "fusion.slice", "bitcast")))
+        # conservative: formatting share computed over the whole device
+        # total, counting every formatting-named op in the top rows
+        summ["formatting_pct_of_device_total"] = round(
+            100 * fmt / summ["total_us"], 1) if summ["total_us"] else None
+        summ["seeds"] = n_seeds
+    return summ
+
+
 def summarize_trace(log_dir: str, top: int = 12):
     """Aggregate device-op self time from the profiler's trace.json.gz."""
     paths = glob.glob(os.path.join(
@@ -215,13 +287,12 @@ def main():
 
     m = measure()
     f64 = flops_dim64_iter()
-    f200 = flops_dim200_iter()
+    f200 = flops_dim200_iter(S=DIM200_SEEDS)
     fpi = flops_pi_pulse_iter()
 
     d64_rate = m["dim64"]["iters_per_sec"] * f64
-    d200_rate = m["dim200"]["seed_iters_per_sec"] * f200 / 64  # per cfg: /S then *S cancels
-    # dim200 measure is seed-iters/s; flops_dim200_iter covers ALL 64 seeds
-    d200_rate = m["dim200"]["seed_iters_per_sec"] / 64 * f200
+    # dim200 measure is seed-iters/s; flops_dim200_iter covers ALL seeds
+    d200_rate = m["dim200"]["seed_iters_per_sec"] / DIM200_SEEDS * f200
     pi_rate = m["pi_pulse"]["iters_per_sec"] * fpi
 
     ai64 = f64 / hbm_bytes_dim64_iter()
@@ -241,7 +312,7 @@ def main():
         },
         "dim200": {
             **{k: round(v, 2) for k, v in m["dim200"].items()},
-            "flops_per_64seed_iter_g": round(f200 / 1e9, 2),
+            "flops_per_batch_iter_g": round(f200 / 1e9, 2),
             "achieved_tflops": round(d200_rate / 1e12, 2),
             "mfu_vs_f32_ceiling_pct": round(100 * d200_rate / F32_HIGHEST_PEAK, 1),
         },
@@ -253,7 +324,8 @@ def main():
         },
     }
     if args.trace:
-        report["dim64_trace"] = trace_dim64(args.trace)
+        report["dim64_trace"] = trace_dim64(args.trace + "_d64")
+        report["dim200_trace"] = trace_dim200(args.trace + "_d200")
     print(json.dumps(report, indent=1))
 
 

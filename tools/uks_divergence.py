@@ -83,9 +83,12 @@ def divergence_curves(cfg_path: str, n_iters: int = 200, stride: int = 10):
         return out
 
     uks_scan = scan_traj(problem.u0_base)
-    u0p = np.asarray(problem.u0_base).copy()
-    u0p[0, 0] = np.nextafter(u0p[0, 0], np.float32(np.inf),
-                             dtype=np.float32)  # one float32 ulp
+    # control: EVERY entry one float32 ulp up — the closest analog of the
+    # per-op reassociation noise that separates two engines.  (A single
+    # 1-ulp entry is sub-resolution: f32 sin() rounds it away and the two
+    # trajectories stay bit-identical — measured.)
+    u0p = np.nextafter(np.asarray(problem.u0_base, dtype=np.float32),
+                       np.float32(np.inf))
     uks_ulp = scan_traj(jnp.asarray(u0p))
 
     # --- iteration-0 gradient cross-check (engine math, no trajectory) ---
