@@ -22,11 +22,11 @@ serial chains.
 Hamiltonian sweeps ride the same kernel: extra operator channels with
 constant per-seed weights (parallel/pallas_batch.py convention).
 
-Scope: the coherent-fidelity objective plus SIX of the seven reference
+Scope: the coherent-fidelity objective plus ALL SEVEN reference
 penalties IN-KERNEL — amplitude/envelope/dwdt/d2wdt2 on the normalized
 weights, the spectral bandpass cost as per-channel out-of-band DFT
-matmuls, and the forbidden-state occupation penalties on the
-VMEM-resident trajectory (speed_up falls back to the XLA batched path);
+matmuls, and the trajectory-reading forbidden-state and speed_up
+penalties on the VMEM-resident trajectory;
 up to 8 concerned vectors per seed (V columns per seed group, coherent
 inner_product_2D fidelity via in-kernel lane group-sums); state-transfer
 problems or unitary problems at ANY taylor_scaling — each squaring runs
@@ -58,11 +58,11 @@ _VMEM_BUDGET = 44 * (1 << 20)  # measured fit on TPU v5lite (physical ~64MB)
 
 def _block_vmem_bytes(M: int, T: int, Kc: int, CB: int,
                       pulse: bool = False, env: bool = False,
-                      Fp: int = 0) -> int:
+                      Fp: int = 0, spd: bool = False) -> int:
     """Resident bytes per seed block: u/m/v (aliased in/out), wbar + w_s
     scratch, trajectory, and working vectors; with in-kernel pulse costs
-    add the sn/gw/difference temporaries, the padded envelope mask, and
-    the bandpass DFT matrices + spectra."""
+    add the sn/gw/difference temporaries, the padded envelope mask, the
+    bandpass DFT matrices + spectra, and the speed_up overlap buffers."""
     M = max(8, M)
     b = 4 * CB * (5 * T * Kc + (T + 1) * M + 8 * M)
     if pulse:
@@ -71,13 +71,17 @@ def _block_vmem_bytes(M: int, T: int, Kc: int, CB: int,
         b += 4 * T * 8 * 128                # [T, Kc, 1] mask tile-padded
     if Fp:
         b += 4 * (4 * T * Fp + 4 * Fp * CB)  # DFT mats (+T) and spectra
+    if spd:
+        b += 4 * CB * 2 * (T + 1)           # per-tau overlap re/im
     return b
 
 
 def _pick_column_block(M: int, T: int, Kc: int, pulse: bool = False,
-                       env: bool = False, Fp: int = 0) -> int:
+                       env: bool = False, Fp: int = 0,
+                       spd: bool = False) -> int:
     for cb in (512, 256, 128):
-        if _block_vmem_bytes(M, T, Kc, cb, pulse, env, Fp) < _VMEM_BUDGET:
+        if _block_vmem_bytes(M, T, Kc, cb, pulse, env, Fp, spd) \
+                < _VMEM_BUDGET:
             return cb
     return 0
 
@@ -129,20 +133,21 @@ def _pulse_statics(problem: ControlProblem, reg_coeffs):
 def batched_mega_supported(problem: ControlProblem,
                            reg_coeffs: Optional[dict] = None) -> bool:
     """The fused batched-optimizer kernel covers the coherent fidelity
-    objective plus six of the seven reference penalties
+    objective plus ALL SEVEN reference penalties
     (regularization_functions.py:7-97) IN-KERNEL: the pulse-shape costs
-    (amplitude/envelope/dwdt/d2wdt2) and the spectral bandpass cost as
-    per-channel DFT matmuls on the column layout, and the forbidden-state
-    occupation penalties on the VMEM-resident trajectory.  speed_up falls
-    back to the XLA batched path (it needs per-timestep group-summed
-    overlap state through the backward sweep)."""
+    (amplitude/envelope/dwdt/d2wdt2), the spectral bandpass cost as
+    per-channel DFT matmuls on the column layout, and the
+    trajectory-reading costs — forbidden-state occupation and speed_up —
+    on the VMEM-resident trajectory the backward sweep already stores."""
     rc = reg_coeffs or {}
     if rc:
-        if set(rc) - set(_BATCH_FORB_KEYS) - set(_BATCH_PULSE_KEYS):
+        if (set(rc) - set(_BATCH_FORB_KEYS) - set(_BATCH_PULSE_KEYS)
+                - {"speed_up"}):
             return False
         if "bandpass" in rc and "band" not in rc:
             return False
-        if any(k in rc for k in _BATCH_FORB_KEYS) and not problem.use_inter_vecs:
+        traj_keys = tuple(_BATCH_FORB_KEYS) + ("speed_up",)
+        if any(k in rc for k in traj_keys) and not problem.use_inter_vecs:
             return False
         if (rc.get("dwdt") or rc.get("d2wdt2")) and problem.steps < 4:
             return False
@@ -151,7 +156,8 @@ def batched_mega_supported(problem: ControlProblem,
     st = _pulse_statics(problem, rc)
     return _pick_column_block(
         2 * problem.state_num, problem.steps, problem.ops_len,
-        st["pulse"], bool(st["a_env"]), st["Fp"]) > 0
+        st["pulse"], bool(st["a_env"]), st["Fp"],
+        bool(rc.get("speed_up"))) > 0
 
 
 def _roll(x, shift):
@@ -201,12 +207,12 @@ def _matvec(A, x):
 def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
             eps, rate,
             factor, conv_target, min_grad, max_iterations, forb, forb_c0,
-            a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp,
+            a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp, a_spd, spd_c0,
             mats_ref, matsT_ref, maxamp_ref, psi0_ref, tgt_ref, ew_ref,
             env2_ref, dftc_ref, dftcT_ref, dfts_ref, dftsT_ref,
             u_in, m_in, v_in, it_in, done_in,
             u_out, m_out, v_out, it_out, done_out, stats_ref,
-            traj, wbar, w_s):
+            traj, wbar, w_s, spd_ri):
     """One grid program = one seed block, n_iters complete iterations,
     PER-SEED convergence semantics (parallel/batch.py body parity):
     metrics are evaluated at each seed's current iterate, the predicates
@@ -291,6 +297,17 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
 
     has_pulse = bool(a_amp or a_env or a_dwdt or a_d2 or a_bp)
     HI = lax.Precision.HIGHEST
+    T1f = float(T + 1)
+    inv_v2 = 1.0 / (V * V)
+
+    def spd_overlap(psi):
+        """Group-coherent overlap of a state block with the target
+        (inner_product_3D per-tau term, tensorflow_state.py:302-321):
+        re/im [CB], every column holding its seed group's total."""
+        fa, fb = psi[:N, :], psi[N:, :]
+        re = _group_sum(jnp.sum(fa * ta + fb * tb, axis=0), V)
+        im = _group_sum(jnp.sum(fb * ta - fa * tb, axis=0), V)
+        return re, im
 
     def tshift(x, s):
         """Shift along the (leading) time axis, zero-filled: tshift(x, 1)
@@ -362,9 +379,13 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
 
         # ---------------- forward chain ----------------
         traj[0] = psi0
+        if a_spd:
+            # tau=0 is the constant c0 term; zero the row so the backward
+            # read at t=0 adds nothing (scratch is uninitialized)
+            spd_ri[pl.ds(0, 1)] = jnp.zeros_like(spd_ri[pl.ds(0, 1)])
 
         def fstep(tt, carry):
-            psi, pen = carry
+            psi, pen, ip3 = carry
             t0 = tt * unroll
             wts = w_s[pl.ds(t0, unroll)]          # [unroll, Kc, CB]
             for s in range(unroll):
@@ -380,11 +401,19 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
                 traj[pl.ds(t0 + s + 1, 1)] = acc[None]
                 if forb:
                     pen = forb_penalty(acc, pen)
+                if a_spd:
+                    # per-tau coherent target overlap, stored for the
+                    # backward cotangent (tau = t0+s+1 in 1..T)
+                    sre, sim = spd_overlap(acc)
+                    spd_ri[pl.ds(t0 + s + 1, 1)] = jnp.stack(
+                        [sre, sim])[None]
+                    ip3 = ip3 + (sre * sre + sim * sim) * inv_v2
                 psi = acc
-            return psi, pen
+            return psi, pen, ip3
 
-        psiT, pen = lax.fori_loop(
-            0, T // unroll, fstep, (psi0, psi0[0] * 0.0))
+        psiT, pen, ip3acc = lax.fori_loop(
+            0, T // unroll, fstep,
+            (psi0, psi0[0] * 0.0, psi0[0] * 0.0))
 
         # -------- coherent fidelity per seed group (V columns) --------
         # get_inner_product_2D semantics: the per-column overlaps sum
@@ -400,6 +429,21 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         if forb:
             # direct penalty cotangent at the final state (tau = T)
             gbar = forb_cotangent(psiT, gbar)
+        if a_spd:
+            # speed_up (regularization_functions.py:88-95): reward target
+            # overlap at EVERY tau; penalty a_spd/2 (T+1 - ip3)^2 with
+            # ip3 = c0 + sum_tau |overlap_tau|^2 / V^2
+            ip3 = spd_c0 + ip3acc                               # [CB]
+            pen_spd = a_spd * 0.5 * (T1f - ip3) * (T1f - ip3)
+            s_spd = (-2.0 * a_spd * inv_v2) * (T1f - ip3)       # [CB]
+            tgt_full = tgt_ref[:]
+            tgt_im = jnp.concatenate([-tb, ta], axis=0)         # [M, CB]
+            row_t = spd_ri[pl.ds(T, 1)][0]                      # [2, CB]
+            gbar = gbar + s_spd[None, :] * (
+                row_t[0][None, :] * tgt_full
+                + row_t[1][None, :] * tgt_im)
+        else:
+            pen_spd = jnp.float32(0.0)
 
         # ---------------- backward chain ----------------
         def bstep(jj, pbar):
@@ -447,6 +491,13 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
                     # direct penalty cotangent at tau = t (the t=0 term only
                     # feeds the discarded psi0 cotangent — harmless)
                     pb_step = forb_cotangent(psi, pb_step)
+                if a_spd:
+                    # stored overlap at tau = t (row 0 is zeroed: the t=0
+                    # term is constant and its cotangent is discarded)
+                    row = spd_ri[pl.ds(t, 1)][0]
+                    pb_step = pb_step + s_spd[None, :] * (
+                        row[0][None, :] * tgt_full
+                        + row[1][None, :] * tgt_im)
                 pbar = pb_step
             return pbar
 
@@ -480,8 +531,10 @@ def _kernel(M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         stats_ref[1, :] = g2
         # reg_loss per seed: fidelity + forbidden penalty summed over the
         # seed's V vector columns + the constant psi0 (tau=0) term + the
-        # pulse-shape/spectral penalties (replicated per column)
-        stats_ref[2, :] = loss + _group_sum(pen, V) + forb_c0 + pen_p
+        # pulse-shape/spectral and speed_up penalties (replicated per
+        # column — ip3 carries the group total in every replica)
+        stats_ref[2, :] = (loss + _group_sum(pen, V) + forb_c0 + pen_p
+                           + pen_spd)
 
         # -------- Adam (optax semantics), frozen seeds masked --------
         mm = b1 * m_out[:] + (1.0 - b1) * g
@@ -508,14 +561,14 @@ def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
                 conv_target, min_grad, max_iterations,
                 forb=(), forb_c0=0.0,
                 a_amp=0.0, a_env=0.0, a_dwdt=0.0, a_d2=0.0, inv_dt=1.0,
-                a_bp=0.0, Fp=0):
+                a_bp=0.0, Fp=0, a_spd=0.0, spd_c0=0.0):
     K = Kc + 1 + E
     unroll = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     kernel = functools.partial(
         _kernel, M, N, V, Kc, E, T, order, scaling, n_iters, unroll, b1, b2,
         eps,
         rate, factor, conv_target, min_grad, max_iterations, forb, forb_c0,
-        a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp)
+        a_amp, a_env, a_dwdt, a_d2, inv_dt, a_bp, a_spd, spd_c0)
     C = G * CB
 
     def cols3(i):
@@ -566,6 +619,8 @@ def _build_call(M, N, V, Kc, E, T, order, scaling, n_iters, CB, G,
             pltpu.VMEM((T + 1, M, CB), _F32),
             pltpu.VMEM((T, Kc, CB), _F32),
             pltpu.VMEM((T, Kc, CB), _F32),
+            # per-tau speed_up overlaps (dummy row when inactive)
+            pltpu.VMEM((T + 1 if a_spd else 1, 2, CB), _F32),
         ],
         # state tensors are updated in place across the segment — alias
         # inputs to outputs (halves streamed VMEM blocks + HBM footprint)
@@ -676,6 +731,23 @@ def make_mega_batched_runner(
     dfts = jnp.asarray(dfts_h)
     dftcT = jnp.asarray(np.ascontiguousarray(dftc_h.T))
     dftsT = jnp.asarray(np.ascontiguousarray(dfts_h.T))
+
+    # speed_up statics: the constant tau=0 (RAW psi0) overlap term
+    # (ops/pallas_mega.py:563-577 — inter_vecs[0] is the raw initial
+    # vectors in both modes, tensorflow_state.py:230-236)
+    a_spd = float((reg_coeffs or {}).get("speed_up", 0.0)) / p.steps
+    if a_spd:
+        iv0 = np.asarray(p.initial_vectors, dtype=np.float64)
+        tv = np.asarray(p.target_vectors, dtype=np.float64)
+        Nc_ = p.state_num
+        Vv = iv0.shape[1]
+        re0 = float(np.sum(iv0[:Nc_] * tv[:Nc_])
+                    + np.sum(iv0[Nc_:] * tv[Nc_:]))
+        im0 = float(np.sum(iv0[Nc_:] * tv[:Nc_])
+                    - np.sum(iv0[:Nc_] * tv[Nc_:]))
+        spd_c0 = (re0 * re0 + im0 * im0) / float(Vv * Vv)
+    else:
+        spd_c0 = 0.0
     if throughput:
         conv_target, min_grad, max_iterations = -1.0, -1.0, float(2 ** 30)
     else:
@@ -712,7 +784,8 @@ def make_mega_batched_runner(
                 f"column count {C} not divisible by mesh size {D} x V={V}")
         C_loc = C // D
         CB = min(_pick_column_block(M, T, Kc, ps["pulse"],
-                                    bool(ps["a_env"]), ps["Fp"]), C_loc)
+                                    bool(ps["a_env"]), ps["Fp"],
+                                    bool(a_spd)), C_loc)
         CB -= CB % V   # seed groups must not straddle block boundaries
         if C_loc % CB != 0:
             raise ValueError(
@@ -724,7 +797,8 @@ def make_mega_batched_runner(
                            conv_target, min_grad, max_iterations,
                            forb, forb_c0,
                            ps["a_amp"], ps["a_env"], ps["a_dwdt"],
-                           ps["a_d2"], ps["inv_dt"], ps["a_bp"], ps["Fp"])
+                           ps["a_d2"], ps["inv_dt"], ps["a_bp"], ps["Fp"],
+                           a_spd, spd_c0)
         if mesh is None:
             fn = jax.jit(call)
         else:

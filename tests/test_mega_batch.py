@@ -66,18 +66,19 @@ def _loss_np64(problem, u, extra_mats=None, extra_w=None):
 
 def test_supported_gates():
     assert batched_mega_supported(_problem())
-    # pulse-shape + bandpass costs are in-kernel (round 4); speed_up is the
-    # one penalty that still falls back to the XLA batched path
+    # round 4: ALL seven reference penalties are in-kernel in the batched
+    # kernel (pulse-shape, bandpass, forbidden, speed_up)
     assert batched_mega_supported(_problem(), reg_coeffs={"dwdt": 0.1})
     assert batched_mega_supported(
         _problem(), reg_coeffs={"amplitude": 0.1, "envelope": 0.2,
                                 "d2wdt2": 0.01})
     assert batched_mega_supported(
         _problem(), reg_coeffs={"bandpass": 0.1, "band": [0.1, 3.0]})
+    assert batched_mega_supported(_problem(), reg_coeffs={"speed_up": 0.1})
     assert not batched_mega_supported(
         _problem(), reg_coeffs={"bandpass": 0.1})  # band required
     assert not batched_mega_supported(
-        _problem(), reg_coeffs={"speed_up": 0.1})
+        _problem(), reg_coeffs={"not_a_cost": 0.1})
 
 
 def test_gradient_matches_float64_oracle():
@@ -357,10 +358,10 @@ def test_forbidden_supported_and_matches_xla():
     problem = _leakage_problem()
     rc = {"forbidden_coeff_list": [4.0], "states_forbidden_list": [2]}
     assert batched_mega_supported(problem, reg_coeffs=rc)
-    # forbidden composes with the in-kernel pulse costs (round 4)
+    # forbidden composes with the in-kernel pulse + speed_up costs (r4)
     assert batched_mega_supported(
         problem, reg_coeffs=dict(rc, amplitude=0.1))
-    assert not batched_mega_supported(
+    assert batched_mega_supported(
         problem, reg_coeffs=dict(rc, speed_up=0.1))
     conv = _conv()
 
@@ -498,3 +499,53 @@ def test_cnot_smoothness_reg_batched():
                                atol=2e-5)
     g_mega = np.transpose(np.asarray(st.m_cols)[:, :, ::4], (2, 1, 0)) / 0.1
     np.testing.assert_allclose(g_mega, np.asarray(grads), atol=1e-5)
+
+
+def test_speed_up_in_batched_kernel():
+    """speed_up (regularization_functions.py:88-95) in-kernel on the
+    batched path: reg losses and gradients match the vmapped XLA forward
+    (which materializes inter_vecs) — completing all 7 penalties
+    in-kernel, state-transfer AND unitary/V>1 group-overlap cases."""
+    from qoc_tpu.models.forward import make_forward
+
+    # state transfer, V = 1
+    problem = _problem()
+    rc = {"speed_up": 0.05, "amplitude": 0.02}
+    assert batched_mega_supported(problem, reg_coeffs=rc)
+    S = 3
+    u0 = np.asarray(init_seeds(problem, S, jax.random.PRNGKey(8)))
+    init_m, run_m, _ = make_mega_batched_runner(
+        problem, _conv(), reg_coeffs=rc)
+    st = run_m(init_m(u0), 1)
+    _, loss_fn = make_forward(problem, reg_coeffs=rc, lean=True,
+                              engine="scan")
+    vg = jax.vmap(lambda u: jax.value_and_grad(lambda x: loss_fn(x)[0])(u))
+    regs, grads = vg(jnp.asarray(u0))
+    np.testing.assert_allclose(np.asarray(st.reg_losses), np.asarray(regs),
+                               atol=2e-5)
+    g_mega = np.transpose(np.asarray(st.m_cols), (2, 1, 0)) / 0.1
+    np.testing.assert_allclose(g_mega, np.asarray(grads), atol=2e-5)
+
+    # unitary mode, V = 2 (group-coherent per-tau overlap)
+    a = q.annihilate(3)
+    p2 = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, 12, [0, 1],
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 0], no_scaling=True,
+    )
+    rc2 = {"speed_up": 0.1}
+    assert batched_mega_supported(p2, reg_coeffs=rc2)
+    u2 = np.asarray(init_seeds(p2, 2, jax.random.PRNGKey(9)))
+    init_m2, run_m2, _ = make_mega_batched_runner(
+        p2, _conv(), reg_coeffs=rc2)
+    st2 = run_m2(init_m2(u2), 1)
+    _, loss_fn2 = make_forward(p2, reg_coeffs=rc2, lean=True,
+                               engine="scan")
+    vg2 = jax.vmap(lambda u: jax.value_and_grad(lambda x: loss_fn2(x)[0])(u))
+    regs2, grads2 = vg2(jnp.asarray(u2))
+    np.testing.assert_allclose(np.asarray(st2.reg_losses),
+                               np.asarray(regs2), atol=2e-5)
+    V2 = p2.initial_vectors.shape[1]
+    g2 = np.transpose(np.asarray(st2.m_cols)[:, :, ::V2], (2, 1, 0)) / 0.1
+    np.testing.assert_allclose(g2, np.asarray(grads2), atol=2e-5)
