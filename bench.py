@@ -351,10 +351,15 @@ def cnot_reg_batched_seediters(n_seeds=128, n_iters=60):
                     n_seeds * n_iters)
 
 
-def dim200_grid_4096_seediters(n_seeds=4096, n_iters=20):
+def dim200_grid_4096_seediters(n_seeds=4096, n_iters=20, chunk=2048):
     """BASELINE config 5 AT SPEC: 4096 parallel seeds x detuning grid on
     the dim-200 multimode cavity through the column-batched xla-cols path
-    (a cavity-frequency detuning as a constant extra channel per seed)."""
+    (a cavity-frequency detuning as a constant extra channel per seed).
+    The seed axis runs as per-launch chunks of ``chunk`` columns: one
+    4096-column launch exhausts the v5lite worker (measured), and a pod
+    shards the same seeds to <= 512 columns/device anyway — the timed
+    quantity covers ALL chunks, so the metric is true aggregate
+    seed-iters/s for the full 4096-seed workload."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -396,12 +401,21 @@ def dim200_grid_4096_seediters(n_seeds=4096, n_iters=20):
 
         return jax.lax.fori_loop(0, n, body, (u, os_))
 
-    u = jnp.asarray(init_seeds(problem, n_seeds, jax.random.PRNGKey(0)))
-    ew = jnp.asarray(deltas)
-    os0 = jax.vmap(opt.init)(u)
-    _sync(run_n(u, os0, ew, 2)[0])
-    return _measure(lambda: _sync(run_n(u, os0, ew, n_iters)[0]),
-                    n_seeds * n_iters)
+    chunks = []
+    for c0 in range(0, n_seeds, chunk):
+        c1 = min(c0 + chunk, n_seeds)
+        u = jnp.asarray(init_seeds(problem, c1 - c0,
+                                   jax.random.PRNGKey(c0 // chunk)))
+        chunks.append((u, jax.vmap(opt.init)(u), jnp.asarray(deltas[c0:c1])))
+    _sync(run_n(chunks[0][0], chunks[0][1], chunks[0][2], 2)[0])
+
+    def all_chunks():
+        s = 0.0
+        for u, os0, ew in chunks:
+            s += _sync(run_n(u, os0, ew, n_iters)[0])
+        return s
+
+    return _measure(all_chunks, n_seeds * n_iters)
 
 
 def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):

@@ -59,11 +59,21 @@ def build_dim200():
 
 
 def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
-             conv_target=1e-4, out_json="CONFIG5_RESULTS.json"):
+             conv_target=1e-4, out_json="CONFIG5_RESULTS.json",
+             chunk=2048):
     """BASELINE config 5 at spec: n_seeds (random pulse inits) x n_grid
     (cavity detunings, repeated across the seed axis) on dim 200 through
     the column-batched backend.  The detuning rides as one constant-weight
-    extra operator channel per seed (-1j*dt*delta*n_cavity)."""
+    extra operator channel per seed (-1j*dt*delta*n_cavity).
+
+    The seed axis is processed in per-launch chunks of ``chunk`` columns:
+    the single-chip xla-cols program is stable up to 2048 columns on a
+    v5lite (a 4096-column launch exhausts the worker — measured), and a
+    pod run shards the same 4096 seeds to <= 512 columns per device
+    anyway, so chunking is the single-chip image of the pod layout.
+    Chunk c uses ``seed=c`` for its random inits; the detuning pattern
+    ``grid[s % n_grid]`` is global across chunks, so every grid point
+    still sees n_seeds/n_grid distinct random inits."""
     problem, n_op = build_dim200()
     extra = np.stack(
         [c_to_r_mat(-1j * problem.dt * n_op)]).astype(np.float32)
@@ -73,26 +83,33 @@ def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
     deltas = grid[np.arange(n_seeds) % n_grid][:, None]
 
     t0 = time.time()
-    it_hist = []
+    losses_all, conv_all = [], []
+    iters_total = 0
+    for c0 in range(0, n_seeds, chunk):
+        c1 = min(c0 + chunk, n_seeds)
 
-    def progress(it, losses, done):
-        it_hist.append((it, float(np.min(losses)), int(np.sum(done))))
-        print(f"  iter {it}: best {np.min(losses):.2e} "
-              f"converged {int(np.sum(done))}/{n_seeds}", flush=True)
+        def progress(it, losses, done, c0=c0, c1=c1):
+            print(f"  seeds [{c0}:{c1}] iter {it}: best "
+                  f"{np.min(losses):.2e} converged "
+                  f"{int(np.sum(done))}/{c1 - c0}", flush=True)
 
-    out = batched_grape_adam(
-        problem, n_seeds=n_seeds,
-        convergence={"rate": 0.02, "update_step": 50,
-                     "max_iterations": max_iterations,
-                     "conv_target": conv_target},
-        seed=0, backend="xla-cols",
-        extra_channels=(extra, deltas),
-        progress=progress,
-    )
+        out = batched_grape_adam(
+            problem, n_seeds=c1 - c0,
+            convergence={"rate": 0.02, "update_step": 50,
+                         "max_iterations": max_iterations,
+                         "conv_target": conv_target},
+            seed=c0 // chunk, backend="xla-cols",
+            extra_channels=(extra, deltas[c0:c1]),
+            progress=progress,
+        )
+        losses_all.append(out["losses"])
+        conv_all.append(out["converged"])
+        iters_total += (c1 - c0) * out["iterations"]
     wall = time.time() - t0
-    losses = out["losses"]
-    conv_count = int(np.sum(out["converged"] & (losses < conv_target)))
-    solves = n_seeds * out["iterations"]
+    losses = np.concatenate(losses_all)
+    converged = np.concatenate(conv_all)
+    conv_count = int(np.sum(converged & (losses < conv_target)))
+    solves = iters_total
     best_per_grid = {
         float(g): float(np.min(losses[np.arange(n_seeds) % n_grid == i]))
         for i, g in enumerate(grid[:8])
@@ -103,11 +120,12 @@ def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
         "n_grid": n_grid,
         "dim": problem.state_num,
         "steps": problem.steps,
-        "iterations": out["iterations"],
+        "iterations": iters_total // n_seeds,
+        "chunk_cols_per_launch": chunk,
         "wall_s": round(wall, 1),
         "seed_iters_per_sec": round(solves / wall, 1),
-        "best_loss": float(out["best_loss"]),
-        "best_fidelity": 1.0 - float(out["best_loss"]),
+        "best_loss": float(np.min(losses)),
+        "best_fidelity": 1.0 - float(np.min(losses)),
         "converged_count": conv_count,
         "converged_frac": round(conv_count / n_seeds, 4),
         "median_loss": float(np.median(losses)),

@@ -112,8 +112,17 @@ def run_pack(outdir: str):
         ver = verify_run(res.file_path, atol=1e-4)
         ver_ode = verify_run(res.file_path, atol=1e-4, oracle="ode")
         f_oracle = oracle_fidelity(res.file_path)
-        delta = abs((1.0 - res.loss) - f_oracle)
+        # primary criterion: the framework's float64 Taylor readout vs the
+        # independent float64 Pade oracle — algorithm-vs-algorithm agreement.
+        # The raw float32 on-device loss is kept as a secondary column: at
+        # dims >= 50 it carries a ~1e-5 f32 accumulation floor that is a
+        # property of float width (identical in the f32 TF1 reference), not
+        # of either algorithm (measured: config 4's f32 recompute is
+        # bit-identical at Taylor order 15 and 20).
+        delta = abs(res.fidelity_f64 - f_oracle)
+        delta_f32 = abs((1.0 - res.loss) - f_oracle)
         print(f"  oracle F={f_oracle:.9f} delta={delta:.2e} "
+              f"delta_f32_reported={delta_f32:.2e} "
               f"expm max_abs_diff={max(ver['max_abs_diff']):.2e} "
               f"ode max_abs_diff={max(ver_ode['max_abs_diff']):.2e}",
               flush=True)
@@ -126,10 +135,12 @@ def run_pack(outdir: str):
             "total_time": cfg["total_time"],
             "final_loss": res.loss,
             "final_fidelity": 1.0 - res.loss,
+            "fidelity_f64": res.fidelity_f64,
             "iterations": res.iterations,
             "wall_s": round(wall, 1),
             "oracle_fidelity": f_oracle,
             "oracle_fidelity_delta": delta,
+            "oracle_fidelity_delta_f32_reported": delta_f32,
             "verify_expm_max_abs_diff": max(ver["max_abs_diff"]),
             "verify_expm_all_close": all(ver["all_close"]),
             "verify_ode_max_abs_diff": max(ver_ode["max_abs_diff"]),

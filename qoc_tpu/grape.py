@@ -39,7 +39,7 @@ class GrapeResult:
 
     def __init__(self, uks, Uf, u_base, loss, reg_loss, unitary_scale,
                  iterations, history, file_path, inter_vecs=None, problem=None,
-                 nfev=None):
+                 nfev=None, fidelity_f64=None):
         self.uks = uks
         self.Uf = Uf
         self.u_base = u_base
@@ -54,6 +54,10 @@ class GrapeResult:
         # scipy-bridge methods: number of function evaluations (each
         # L-BFGS-B line-search probe is one), distinct from `iterations`
         self.nfev = nfev
+        # float64 recompute of the final fidelity by the framework's own
+        # Taylor propagation (analysis.fidelity_f64): removes the f32
+        # accumulation floor from oracle comparisons
+        self.fidelity_f64 = fidelity_f64
 
     def __iter__(self):  # allow `uks, Uf = Grape(...)` tuple unpacking
         return iter((self.uks, self.Uf))
@@ -483,6 +487,11 @@ def Grape(
 
     # final snapshots (run_session.py:94-110)
     uks = _analysis.uks_from_base(problem, u_base)
+    # float64 fidelity readout: the optimizer's loss stays float32 (bit-
+    # compatible with the on-device value); this companion number removes
+    # the ~1e-5 f32 accumulation floor at dims >= 50 so oracle comparisons
+    # measure algorithm agreement, not float width (see analysis.fidelity_f64)
+    fid64 = _analysis.fidelity_f64(problem, uks)
     if save:
         _analysis.append_metrics(
             file_path, error=loss, reg_error=reg_loss, uks=uks,
@@ -501,11 +510,12 @@ def Grape(
 
         with H5File(file_path, "a") as hf:
             hf.add("wall_clock_time", np.array(time.time() - grape_start_time))
+            hf.add("fidelity_f64", np.array(fid64))
         print("data saved at: " + str(file_path))
 
     return GrapeResult(
         uks=uks, Uf=Uf, u_base=u_base, loss=loss, reg_loss=reg_loss,
         unitary_scale=uscale, iterations=iterations, history=history,
         file_path=file_path, inter_vecs=inter_vecs, problem=problem,
-        nfev=nfev,
+        nfev=nfev, fidelity_f64=fid64,
     )

@@ -65,6 +65,8 @@ class ControlProblem:
     initial_vectors_c: np.ndarray = None
     dressed_info: Any = None
     states_concerned_list: Any = None
+    U_c: np.ndarray = None       # original complex target (unitary [N,N]
+    #                              or stacked target vectors [V, N])
 
     @staticmethod
     def build(
@@ -216,4 +218,6 @@ class ControlProblem:
             initial_vectors_c=initial_vectors_c,
             dressed_info=dressed_info,
             states_concerned_list=list(states_concerned_list),
+            U_c=(np.stack([np.asarray(t, dtype=complex) for t in U])
+                 if state_transfer else np.asarray(U, dtype=complex)),
         )

