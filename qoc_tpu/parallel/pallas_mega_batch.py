@@ -66,7 +66,15 @@ def _block_vmem_bytes(M: int, T: int, Kc: int, CB: int,
     M = max(8, M)
     b = 4 * CB * (5 * T * Kc + (T + 1) * M + 8 * M)
     if pulse:
-        b += 4 * CB * 3 * T * Kc            # sn, gw, one difference temp
+        # The compiler keeps far more than the 3 nominal [T, Kc, CB]
+        # temporaries live through the fused fwd+bwd pulse-cost chain
+        # (shifted dwdt/d2wdt2 copies, their cotangents, and the fused
+        # backward's double-buffering).  Calibrated against a real v5lite
+        # compile report: CNOT-class (M=8, T=1000, Kc=3) at CB=256 needed
+        # 161.38M against a 128M capacity where this model said 37M; at
+        # CB=128 it compiles and runs.  The 9x coefficient makes the
+        # block picker's decisions match those measurements.
+        b += 4 * CB * 9 * T * Kc
     if env:
         b += 4 * T * 8 * 128                # [T, Kc, 1] mask tile-padded
     if Fp:
