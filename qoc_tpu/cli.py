@@ -166,7 +166,8 @@ def main(argv=None) -> int:
     p_ver = sub.add_parser("verify", help="independent-oracle verification")
     p_ver.add_argument("run_file")
     p_ver.add_argument("--atol", type=float, default=1e-4)
-    p_ver.add_argument("--oracle", choices=["scipy", "ode", "qutip"],
+    p_ver.add_argument("--oracle",
+                       choices=["scipy", "ode", "qutip", "qutip-shim"],
                        default="scipy")
     p_ver.set_defaults(fn=cmd_verify)
 

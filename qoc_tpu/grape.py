@@ -140,6 +140,9 @@ def Grape(
         state_transfer=state_transfer, no_scaling=no_scaling,
         Taylor_terms=Taylor_terms, use_inter_vecs=use_inter_vecs, seed=seed,
     )
+    from .models.costs import validate_reg_coeffs
+
+    validate_reg_coeffs(reg_coeffs, state_num=problem.state_num)
     print(
         "Using %d Taylor terms and %d Scaling & Squaring terms"
         % (problem.taylor_terms, problem.taylor_scaling)
@@ -315,6 +318,21 @@ def Grape(
             and mega_supported(problem, reg_coeffs, gradient_mode)
             and (engine == "mega" or jax.default_backend() != "cpu")
         )
+        from .routing import (announce, fused_fallback_reasons,
+                              resolve_single_engine)
+
+        if use_mega:
+            announce("engine", "mega (fused multi-iteration Pallas kernel)")
+        else:
+            resolved = resolve_single_engine(
+                problem, reg_coeffs, gradient_mode, engine, lean=True)
+            announce(
+                "engine", resolved,
+                reasons=(fused_fallback_reasons(
+                    problem, reg_coeffs, gradient_mode=gradient_mode,
+                    on_accel=jax.default_backend() != "cpu")
+                    if engine == "auto" else None),
+            )
         optimizer = make_adam_optimizer(conv)
         if use_mega:
             if save and 0 < conv.evol_save_step < conv.update_step:

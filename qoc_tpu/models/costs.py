@@ -166,6 +166,53 @@ def speed_up_cost(ctx, reg_coeffs):
 _AUX_KEYS = {"band", "states_forbidden_list", "forbid_dressed"}
 
 
+def validate_reg_coeffs(reg_coeffs: dict | None,
+                        state_num: int | None = None) -> None:
+    """Loud, early reg_coeffs validation with nearest-key suggestions.
+
+    The reference silently ignores unknown keys and its README documents
+    'forbidden' while the code reads 'forbidden_coeff_list'
+    (README.md:27 vs regularization_functions.py:71 — the trap SURVEY
+    sec 2.5 notes).  Here a typo'd key fails immediately with the closest
+    known spelling, paired list lengths are checked, and (when state_num
+    is given) forbidden level indices are range-checked.
+    """
+    if not reg_coeffs:
+        return
+    import difflib
+
+    valid = set(REGISTRY) | _AUX_KEYS | {"forbidden"}
+    for key in reg_coeffs:
+        if key not in valid:
+            close = difflib.get_close_matches(key, sorted(valid), n=1)
+            hint = f"; did you mean {close[0]!r}?" if close else ""
+            raise KeyError(
+                f"unknown reg_coeffs key {key!r}{hint} "
+                f"(known: {sorted(valid)})")
+    forb = reg_coeffs.get("forbidden_coeff_list",
+                          reg_coeffs.get("forbidden"))
+    if forb is not None:
+        states = reg_coeffs.get("states_forbidden_list")
+        if states is None:
+            raise ValueError(
+                "'forbidden_coeff_list' requires a matching "
+                "'states_forbidden_list' of level indices")
+        if len(forb) != len(states):
+            raise ValueError(
+                f"forbidden_coeff_list has {len(forb)} coefficients for "
+                f"{len(states)} states_forbidden_list entries")
+        if state_num is not None:
+            for i, s in enumerate(states):
+                if not 0 <= int(s) < state_num:
+                    raise ValueError(
+                        f"states_forbidden_list[{i}]={s} is outside the "
+                        f"{state_num}-dimensional Hilbert space")
+    if "bandpass" in reg_coeffs and "band" not in reg_coeffs:
+        raise ValueError(
+            "'bandpass' requires 'band' = [f_lo, f_hi] "
+            "(regularization_functions.py:47-67)")
+
+
 def total_reg_cost(ctx: CostContext, reg_coeffs: dict | None) -> jnp.ndarray:
     """Sum all penalties selected by reg_coeffs (regularization_functions.py:7-97).
 
@@ -181,8 +228,14 @@ def total_reg_cost(ctx: CostContext, reg_coeffs: dict | None) -> jnp.ndarray:
             continue
         name = "forbidden_coeff_list" if key == "forbidden" else key
         if name not in REGISTRY:
+            import difflib
+
+            close = difflib.get_close_matches(
+                key, sorted(set(REGISTRY) | {"forbidden"}), n=1)
+            hint = f"; did you mean {close[0]!r}?" if close else ""
             raise KeyError(
-                f"unknown reg_coeffs key {key!r}; known: {sorted(REGISTRY)}"
+                f"unknown reg_coeffs key {key!r}{hint} "
+                f"(known: {sorted(REGISTRY)})"
             )
         cfg = dict(reg_coeffs)
         if key == "forbidden":

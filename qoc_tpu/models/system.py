@@ -88,15 +88,43 @@ class ControlProblem:
         use_inter_vecs: bool = True,
         seed: Optional[int] = None,
     ) -> "ControlProblem":
+        import warnings
+
+        # --- loud input validation with shape context (the reference's
+        # only check is the initial-guess amplitude bound,
+        # system_parameters.py:38-46) ---
         H0 = np.asarray(H0, dtype=complex)
+        if H0.ndim != 2 or H0.shape[0] != H0.shape[1]:
+            raise ValueError(
+                f"H0 must be a square [N, N] matrix; got shape {H0.shape}")
         Hops = [np.asarray(h, dtype=complex) for h in Hops]
         state_num = len(H0)
         ops_len = len(Hops)
+        for i, h in enumerate(Hops):
+            if h.shape != H0.shape:
+                raise ValueError(
+                    f"Hops[{i}] has shape {h.shape}; every control "
+                    f"Hamiltonian must match H0's shape {H0.shape}")
+        if Hnames is not None and len(Hnames) != ops_len:
+            raise ValueError(
+                f"Hnames has {len(Hnames)} entries for {ops_len} Hops")
+        if int(steps) <= 0:
+            raise ValueError(f"steps must be positive; got {steps}")
+        if float(total_time) <= 0:
+            raise ValueError(f"total_time must be positive; got {total_time}")
+        herm_err = float(np.max(np.abs(H0 - H0.conj().T))) if state_num else 0.0
+        if herm_err > 1e-8 * max(1.0, float(np.max(np.abs(H0)))):
+            warnings.warn(
+                f"H0 is not Hermitian (max |H0 - H0^dag| = {herm_err:.2e}); "
+                "propagation will not be unitary", stacklevel=2)
         dt = float(total_time) / steps
 
         if U0 is None:
             U0 = np.identity(state_num)
         U0 = np.asarray(U0, dtype=complex)
+        if U0.shape != H0.shape:
+            raise ValueError(
+                f"U0 has shape {U0.shape}; expected {H0.shape} to match H0")
 
         # maxA defaulting (grape.py:95-101)
         if maxA is None:
@@ -105,7 +133,11 @@ class ControlProblem:
             else:
                 ops_max_amp = 1.5 * np.max(np.abs(initial_guess)) * np.ones(ops_len)
         else:
-            ops_max_amp = np.asarray(maxA, dtype=float)
+            ops_max_amp = np.atleast_1d(np.asarray(maxA, dtype=float))
+            if ops_max_amp.shape != (ops_len,):
+                raise ValueError(
+                    f"maxA has length {ops_max_amp.shape[0]}; expected one "
+                    f"amplitude bound per control (K={ops_len})")
 
         # dressed info (system_parameters.py:75-80)
         is_dressed = False
@@ -122,14 +154,24 @@ class ControlProblem:
         # initial vectors (system_parameters.py:168-191)
         initial_vectors = []
         initial_vectors_c = []
-        for state in states_concerned_list:
+        for i, state in enumerate(states_concerned_list):
             if state_transfer:
                 vec_c = np.asarray(state, dtype=complex)
+                if vec_c.shape != (state_num,):
+                    raise ValueError(
+                        f"states_concerned_list[{i}] has shape "
+                        f"{vec_c.shape}; state-transfer mode takes state "
+                        f"VECTORS of length N={state_num}")
             elif is_dressed:
                 vec_c = v_c[:, get_state_index(state, dressed_id)]
             else:
+                idx = int(state)
+                if not 0 <= idx < state_num:
+                    raise ValueError(
+                        f"states_concerned_list[{i}]={idx} is outside the "
+                        f"{state_num}-dimensional Hilbert space")
                 vec_c = np.zeros(state_num, dtype=complex)
-                vec_c[state] = 1
+                vec_c[idx] = 1
             initial_vectors_c.append(vec_c)
             initial_vectors.append(c_to_r_vec(vec_c))
         initial_vectors = np.stack(initial_vectors, axis=1).astype(np.float32)
@@ -142,7 +184,13 @@ class ControlProblem:
                 [c_to_r_vec(np.asarray(t, dtype=complex)) for t in U], axis=1
             ).astype(np.float32)
         else:
-            target_unitary_iso = c_to_r_mat(np.asarray(U, dtype=complex)).astype(
+            U = np.asarray(U, dtype=complex)
+            if U.shape != H0.shape:
+                raise ValueError(
+                    f"target U has shape {U.shape}; expected {H0.shape} to "
+                    "match H0 (or pass state_transfer=True with target "
+                    "vectors)")
+            target_unitary_iso = c_to_r_mat(U).astype(
                 np.float32
             )
             target_vectors = (

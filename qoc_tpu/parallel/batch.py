@@ -122,9 +122,10 @@ def make_batched_runner(
       * 'pallas' — fused chain kernel per loss evaluation
         (parallel/pallas_batch.py), XLA backward + optax update.
       * 'xla-cols' — column-batched XLA chain for LARGE dims (V <= 8,
-        forbidden + pulse costs; parallel/xla_batch.py).
+        all 7 costs incl. in-carry forbidden + speed_up;
+        parallel/xla_batch.py).
       * 'xla'    — vmapped generic forward (always available; the only
-        backend for speed_up and per-seed mats sweeps).
+        backend for per-seed mats sweeps and V > 8).
       * 'auto'   — mega when supported on an accelerator, else pallas,
         else xla-cols, else xla.
 
@@ -133,8 +134,16 @@ def make_batched_runner(
     runner's ``mats_b`` operand as ``extra_weights [S, E]`` — the
     Hamiltonian-sweep mechanism for the fused kernels.
     """
+    from ..routing import announce, fused_fallback_reasons
+
     optimizer = make_adam_optimizer(conv)
 
+    _DESCR = {
+        "mega": "mega (fused batched-optimizer Pallas kernel)",
+        "pallas": "pallas (fused chain kernel + XLA backward)",
+        "xla-cols": "xla-cols (column-batched XLA chain)",
+        "xla": "xla (vmapped generic forward)",
+    }
     if backend == "auto":
         from .pallas_batch import pallas_batch_supported
         from .pallas_mega_batch import batched_mega_supported
@@ -155,6 +164,14 @@ def make_batched_runner(
             backend = "xla-cols"
         else:
             backend = "xla"
+        reasons = None
+        if backend != "mega":
+            reasons = fused_fallback_reasons(
+                problem, reg_coeffs, gradient_mode=gradient_mode,
+                sweep_mats=sweep_mats, on_accel=on_accel)
+        announce("batch backend", _DESCR[backend], reasons)
+    else:
+        announce("batch backend", _DESCR.get(backend, backend) + " (forced)")
 
     if backend == "mega":
         return _make_mega_backend(problem, conv, extra_channel_mats, mesh,
@@ -289,6 +306,9 @@ def batched_grape_adam(
         swept terms expressed as fixed operator channels with constant
         per-seed weights — rides the fused Pallas kernel.
     """
+    from ..models.costs import validate_reg_coeffs
+
+    validate_reg_coeffs(reg_coeffs, state_num=problem.state_num)
     conv = ConvergenceSettings.from_dict(convergence)
     sweep = mats_batch is not None
     if sweep and extra_channels is not None:

@@ -16,22 +16,26 @@ separate dots, a further 11% with the stacked contraction (fwd+bwd 42.0
 -> 37.9 ms; a seed-major ``[S, K'M] @ [K'M, M]`` transpose variant
 measured slightly worse, 38.3 ms).
 
-The column axis is zero-padded to a multiple of 128 (when C >= 64): the
-stacked operand's lane tiles are then always full, removing the measured
-12% data-formatting share at S=64 (PERF.md seed-scaling section) —
-padded columns carry zero state and zero weights and are sliced off
+The column axis is zero-padded to a multiple of 128 ONLY when C > 128:
+above one lane tile the pad fraction is small and full lane tiles remove
+the stacked operand's data-formatting share; at C <= 128 the pad would
+up-to-double the real work the formatting ops do on [K'M, Cp] (measured:
+padding C=64 -> 128 cost 19% end-to-end at dim 200, BENCH_r04 vs r03 —
+the round-4 unconditional pad was a regression and is now conditional).
+Padded columns carry zero state and zero weights and are sliced off
 before the fidelity/penalty reductions.
 
 Scope: V <= 8 concerned vectors (coherent inner_product_2D group
 fidelity), state transfer or unitary mode (any taylor_scaling —
 squarings run as repeated pre-scaled Taylor applications to the state
 block, so no per-seed matrices exist), pulse-only penalties PLUS the
-forbidden-state occupation penalties (computed from static projection
-rows inside the scan carry — dressed rotation folded in host-side,
-regularization_functions.py:71-85 via ops/pallas_mega.forbidden_static);
-constant-weight extra sweep channels.  speed_up remains on the vmapped
-generic backend.  Used by make_batched_runner as the large-dim backend
-where the fused kernels don't fit in VMEM.
+trajectory penalties: forbidden-state occupation (static projection rows
+inside the scan carry — dressed rotation folded in host-side,
+regularization_functions.py:71-85 via ops/pallas_mega.forbidden_static)
+AND speed_up (per-step coherent target overlap accumulated in the scan
+carry, regularization_functions.py:88-95); constant-weight extra sweep
+channels.  Used by make_batched_runner as the large-dim backend where
+the fused kernels don't fit in VMEM.
 """
 
 from __future__ import annotations
@@ -57,10 +61,10 @@ def xla_cols_supported(problem: ControlProblem,
     rc = reg_coeffs or {}
     if problem.initial_vectors.shape[1] > 8:
         return False
-    if "speed_up" in rc:
-        return False
-    if any(k in rc for k in ("forbidden_coeff_list", "forbidden")) \
-            and not problem.use_inter_vecs:
+    trajectory_keys = ("forbidden_coeff_list", "forbidden", "speed_up")
+    if any(k in rc for k in trajectory_keys) and not problem.use_inter_vecs:
+        # match costs.py's loud requirement: trajectory penalties need
+        # intermediate states (the vmapped fallback raises the same error)
         return False
     return True
 
@@ -107,7 +111,17 @@ def make_xla_batched_loss(
         f_alphas = jnp.asarray([f[0] for f in forb], dtype=jnp.float32)
         f_rows_s = jnp.asarray([f[1] for f in forb], dtype=jnp.float32)
         f_rows_ns = jnp.asarray([f[2] for f in forb], dtype=jnp.float32)
-    pulse_rc = {k: v for k, v in rc.items() if k not in _FORB_KEYS}
+    # speed_up (regularization_functions.py:88-95): per-timestep coherent
+    # target overlap, accumulated in the scan carry instead of storing
+    # inter_vecs.  On the real iso, Re<psi|tgt> = psi . [c; d] and
+    # Im<psi|tgt> = psi . [-d; c] — two column dots per step.
+    has_su = "speed_up" in rc
+    if has_su:
+        su_alpha = float(rc["speed_up"]) / float(T)
+        tgt_re_1 = tgt                                     # [M, V]
+        tgt_im_1 = jnp.concatenate([-tgt[N:, :], tgt[:N, :]], axis=0)
+    pulse_rc = {k: v for k, v in rc.items()
+                if k not in _FORB_KEYS and k != "speed_up"}
     # matvec truncation (powers 0..order-1) for state transfer; unitary
     # mode keeps powers 0..taylor_terms (pallas_batch convention).  With
     # taylor_scaling s > 0, exp(A) = Taylor(A/2^s)^(2^s)
@@ -123,9 +137,11 @@ def make_xla_batched_loss(
                      extra_weights: Optional[jnp.ndarray] = None):
         S = u_bases.shape[0]
         C = S * V
-        # pad the column axis to full 128-lane tiles (zero state + zero
-        # weights; sliced off before the reductions)
-        Cp = C + ((-C) % 128 if C >= 64 else 0)
+        # pad the column axis to full 128-lane tiles ONLY above one tile
+        # (zero state + zero weights; sliced off before the reductions) —
+        # at C <= 128 the pad up-to-doubles the formatting work and was a
+        # measured 19% regression at C=64 (module docstring)
+        Cp = C + ((-C) % 128 if C > 128 else 0)
         ops_weight = jnp.sin(u_bases)                          # [S, Kc, T]
         amps = max_amp[None, :, None] * ops_weight
         chans = [jnp.ones((S, 1, T), dtype=amps.dtype), amps]
@@ -143,9 +159,28 @@ def make_xla_batched_loss(
         if Cp != C:
             psi_cols = jnp.pad(psi_cols, ((0, 0), (0, Cp - C)))
         pen0 = jnp.zeros((Cp,), dtype=jnp.float32)
+        if has_su:
+            tgt_re = jnp.tile(tgt_re_1, (1, S))                # [M, C]
+            tgt_im = jnp.tile(tgt_im_1, (1, S))
+            if Cp != C:
+                tgt_re = jnp.pad(tgt_re, ((0, 0), (0, Cp - C)))
+                tgt_im = jnp.pad(tgt_im, ((0, 0), (0, Cp - C)))
+
+        def seed_overlap(psi):
+            """Coherent per-seed |<psi|tgt>|^2 / V^2 at one timestep."""
+            re = jnp.sum(psi * tgt_re, axis=0)                 # [Cp]
+            im = jnp.sum(psi * tgt_im, axis=0)
+            re_s = jnp.sum(re[:C].reshape(S, V), axis=1)       # [S]
+            im_s = jnp.sum(im[:C].reshape(S, V), axis=1)
+            return (re_s * re_s + im_s * im_s) * (1.0 / (V * V))
+
+        # t=0 term of the speed_up sum (inter_vecs includes the initial
+        # state, tensorflow_state.py:229-242)
+        su0 = seed_overlap(psi_cols) if has_su \
+            else jnp.zeros((S,), dtype=jnp.float32)
 
         def step(carry, wt):                                   # psi [M, Cp]
-            psi, pen = carry
+            psi, pen, su = carry
             for _ in range(reps):
                 acc = psi
                 pn = psi
@@ -165,10 +200,12 @@ def make_xla_batched_loss(
                 pop = phi_s * phi_s + phi_ns * phi_ns          # [F, Cp]
                 pen = pen + jnp.sum(
                     f_alphas[:, None] * 0.5 * pop * pop, axis=0)
-            return (psi, pen), None
+            if has_su:
+                su = su + seed_overlap(psi)
+            return (psi, pen, su), None
 
         body = jax.checkpoint(step) if remat else step
-        (final, pen), _ = lax.scan(body, (psi_cols, pen0), w_t)
+        (final, pen, su), _ = lax.scan(body, (psi_cols, pen0, su0), w_t)
         final = final[:, :C]
 
         # coherent group fidelity over each seed's V columns
@@ -184,6 +221,10 @@ def make_xla_batched_loss(
         if forb:
             pen_seed = jnp.sum(pen[:C].reshape(S, V), axis=1) + forb_c0
             reg_losses = reg_losses + pen_seed
+        if has_su:
+            # alpha * 0.5 * (T+1 - sum_t ip_t)^2 (costs.py speed_up_cost)
+            miss = float(T + 1) - su
+            reg_losses = reg_losses + su_alpha * 0.5 * miss * miss
         if pulse_rc:
             def seed_reg(w_s):
                 ctx = CostContext(

@@ -78,11 +78,22 @@ def fidelity_f64(problem: ControlProblem, uks: np.ndarray,
     else:  # fall back to the float32 iso targets
         tv = np.asarray(problem.target_vectors, dtype=np.float64)
         targets = tv[:n, :] + 1j * tv[n: 2 * n, :]
+    if not problem.state_transfer:
+        # the device forward propagates from U0 (evolve_unitary starts its
+        # chain at U0; final_vecs = final_U @ psi0) — apply it here too so
+        # a non-identity U0 gives the same frame.  Targets are Uc @ psi0
+        # WITHOUT U0, matching tensorflow_state.py:165 (target_vecs built
+        # from U only).
+        psi = np.asarray(problem.U0_c, dtype=np.complex128) @ psi
 
     for t in range(problem.steps):
         A = -1j * dt * (H0 + sum(u * H for u, H in zip(uks[:, t], Hops)))
-        # scale so the series converges to ~1e-15 at `order` terms
-        s = max(0, int(np.ceil(np.log2(max(np.linalg.norm(A, 2), 1e-30)))))
+        # scale so the series converges to ~1e-15 at `order` terms; the
+        # Frobenius norm upper-bounds the spectral norm at O(N^2) cost
+        # (an overestimated scaling exponent only adds cheap squarings —
+        # the exact 2-norm was an O(N^3) SVD per step)
+        s = max(0, int(np.ceil(np.log2(max(
+            np.linalg.norm(A, "fro"), 1e-30)))))
         As = A / (2.0 ** s)
         for _ in range(2 ** s):
             term = psi

@@ -20,6 +20,12 @@ and compare the stored intermediate states.  Three oracles:
     ``uks[k][int(t/dt)]`` pulse lookup (qutip_verification.py:51-61) — is
     factored into ``piecewise_uks_fns`` and exercised by the ``ode``
     oracle's tests.  The qutip-exclusive surface is three qt.* calls.
+  * ``qutip-shim`` (always available): the SAME ``_qutip_states`` branch —
+    Qobj wrapping, the time-dependent ``[H0, [Hk, u_fn]]`` list, sesolve,
+    ``.full()`` readout — executed against ``utils.qutip_shim``, a
+    clearly-labeled API-compatible stand-in backed by DOP853.  This gives
+    the qutip branch executed coverage in environments where the real
+    package cannot be installed; it never masquerades as qutip itself.
 
 All read the identical h5 schema the reference writes (H0, Hops,
 total_time, steps, uks[-1], inter_vecs_raw_{real,imag}[-1],
@@ -78,6 +84,11 @@ def verify_run(datafile: str, atol: float = 1e-4, oracle: str = "scipy"):
         psi0 = init_vecs[vid]
         if oracle == "qutip":
             states = _qutip_states(H0, Hops, uks, gate_time, steps, psi0)
+        elif oracle == "qutip-shim":
+            from . import qutip_shim
+
+            states = _qutip_states(H0, Hops, uks, gate_time, steps, psi0,
+                                   qt=qutip_shim)
         elif oracle == "ode":
             states = ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0)
         else:
@@ -138,19 +149,27 @@ def ode_oracle_states(H0, Hops, uks, gate_time, steps, psi0_c,
     return sol.y  # [N, steps+1]
 
 
-def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c):
+def _qutip_states(H0, Hops, uks, gate_time, steps, psi0_c, qt=None):
     """QuTiP sesolve oracle, reference construction
     (qutip_verification.py:35-71).  Requires the optional ``qutip`` extra
     (``pip install qoc_tpu[qutip]``); the pulse-lookup callables come from
-    the shared, ode-oracle-tested ``piecewise_uks_fns``."""
-    try:
-        import qutip as qt
-    except ImportError as e:
-        raise ImportError(
-            "oracle='qutip' needs the optional qutip extra: "
-            "pip install qoc_tpu[qutip] (the 'ode' oracle is the "
-            "dependency-free stand-in with the same algorithm class)"
-        ) from e
+    the shared, ode-oracle-tested ``piecewise_uks_fns``.
+
+    ``qt`` injects a qutip-API-compatible module — utils.qutip_shim uses
+    this to give the branch executed coverage (Qobj wrapping, the
+    time-dependent Ht_list format, sesolve, .full() readout) where real
+    qutip cannot be installed."""
+    if qt is None:
+        try:
+            import qutip as qt
+        except ImportError as e:
+            raise ImportError(
+                "oracle='qutip' needs the optional qutip extra: "
+                "pip install qoc_tpu[qutip] (the 'ode' oracle is the "
+                "dependency-free stand-in with the same algorithm class; "
+                "oracle='qutip-shim' runs this exact construction on the "
+                "built-in API-compatible shim)"
+            ) from e
 
     tlist = np.linspace(0, gate_time, steps + 1)
     Ht_list = [qt.Qobj(H0)]

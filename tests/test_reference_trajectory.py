@@ -412,7 +412,13 @@ def test_exact_unitary_scaling_trajectory_cnot_scale():
     # 4-iteration ceiling asserts the amplification stays below the
     # every-entry-flipped catastrophe (2*lr*n = 8e-2), not engine bit
     # agreement — that is the iteration-1 assert's job.
-    assert dev_scan[0] < 1e-3, dev_scan
-    assert dev_mega[0] < 1e-3, dev_mega
+    assert dev_scan[0] < 5e-4, dev_scan
+    assert dev_mega[0] < 5e-4, dev_mega
     assert dev_scan[-1] < 4e-2, dev_scan
     assert dev_mega[-1] < 4e-2, dev_mega
+    # per-iteration amplification stays bounded (measured 2-8x/iter): a
+    # systematic squaring-branch error at the 1e-3..1e-2 scale would blow
+    # through this factor immediately instead of growing from the floor
+    for devs in (dev_scan, dev_mega):
+        for a, b in zip(devs, devs[1:]):
+            assert b < 12 * max(a, 1e-6), devs

@@ -30,13 +30,24 @@ def _problem(levels=5, steps=12):
     )
 
 
+def _problem_unitary(steps=12):
+    a = q.annihilate(3)
+    return ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, steps, [0],
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+    )
+
+
 def test_supported():
     assert xla_cols_supported(_problem(), None)
-    # forbidden-state penalties are in-path since round 4 (scan-carry
-    # projections); speed_up still routes to the vmapped generic backend
+    # trajectory penalties are in-path: forbidden since round 4
+    # (scan-carry projections), speed_up since round 5 (in-carry target
+    # overlap) — both still need use_inter_vecs
     assert xla_cols_supported(_problem(), {"forbidden_coeff_list": [1.0],
                                            "states_forbidden_list": [2]})
-    assert not xla_cols_supported(_problem(), {"speed_up": 0.1})
+    assert xla_cols_supported(_problem(), {"speed_up": 0.1})
 
 
 def test_matches_per_seed_forward():
@@ -72,6 +83,45 @@ def test_matches_pallas_loss_with_extras_and_reg():
     gx = jax.grad(lambda a: jnp.sum(lx(a, ew)[0]))(jnp.asarray(u))
     gp = jax.grad(lambda a: jnp.sum(lp(a, ew)[0]))(jnp.asarray(u))
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=2e-5)
+
+
+def test_speed_up_matches_vmapped_generic():
+    """speed_up computed in the scan carry (round 5) matches the vmapped
+    generic forward's inter_vecs-based cost — loss and gradient
+    (regularization_functions.py:88-95 semantics)."""
+    problem = _problem()
+    S = 3
+    u = jnp.asarray(init_seeds(problem, S, jax.random.PRNGKey(2)))
+    reg = {"speed_up": 0.05, "amplitude": 0.02}
+    lx = make_xla_batched_loss(problem, reg)
+    rx, fx = lx(u)
+
+    _, loss_fn = make_forward(problem, reg_coeffs=reg, lean=True,
+                              engine="scan")
+    for s in range(S):
+        want_reg, out = loss_fn(u[s])
+        np.testing.assert_allclose(float(fx[s]), float(out.loss), atol=1e-5)
+        np.testing.assert_allclose(float(rx[s]), float(want_reg), atol=1e-4)
+
+    gx = jax.grad(lambda a: jnp.sum(lx(a)[0]))(u)
+    gv = jax.vmap(jax.grad(lambda a: loss_fn(a)[0]))(u)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gv), atol=2e-4)
+
+
+def test_speed_up_unitary_mode_cols():
+    """speed_up in UNITARY mode on the column path (inter_vecs are
+    U_t @ psi0 there) against the generic forward."""
+    problem = _problem_unitary()
+    S = 2
+    u = jnp.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
+    reg = {"speed_up": 0.1}
+    lx = make_xla_batched_loss(problem, reg)
+    rx, fx = lx(u)
+    _, loss_fn = make_forward(problem, reg_coeffs=reg, lean=True,
+                              engine="scan")
+    for s in range(S):
+        want_reg, out = loss_fn(u[s])
+        np.testing.assert_allclose(float(rx[s]), float(want_reg), atol=1e-4)
 
 
 def test_unitary_with_scaling_cols():
