@@ -223,7 +223,7 @@ def leakage_iters_per_sec(device, n_iters=3000, fused=True):
     return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
 
 
-def cavity_costs_iters_per_sec(device, n_iters=200):
+def cavity_costs_iters_per_sec(device, n_iters=200, engine="auto"):
     """BASELINE config 4: transmon x cavity (Hilbert dim 24) state transfer
     in the dressed basis with dwdt + bandpass + speed_up costs — the
     trajectory-reading config.  Routes the associative (parallel-in-time)
@@ -262,7 +262,7 @@ def cavity_costs_iters_per_sec(device, n_iters=200):
     rc = {"dwdt": 0.0001, "bandpass": 0.1, "band": [0.1, 10.0],
           "speed_up": 0.001}
     conv = _conv()
-    _, loss_fn = make_forward(problem, lean=True, engine="auto",
+    _, loss_fn = make_forward(problem, lean=True, engine=engine,
                               reg_coeffs=rc)
     optimizer = make_adam_optimizer(conv)
     run_n = make_throughput_runner(loss_fn, conv, optimizer)
@@ -273,7 +273,7 @@ def cavity_costs_iters_per_sec(device, n_iters=200):
     return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
 
 
-def cavity_dim60_iters_per_sec(device, n_iters=150):
+def cavity_dim60_iters_per_sec(device, n_iters=150, engine="auto"):
     """BASELINE config 4 AT SPEC (dim 60 >= 50): the examples/jobs/
     transmon_cavity.json system — 3-level transmon x 20-level cavity in
     the qubit rotating frame, dressed basis, qubit+cavity drives, dwdt +
@@ -305,7 +305,7 @@ def cavity_dim60_iters_per_sec(device, n_iters=150):
     rc = {"dwdt": 0.0001, "bandpass": 0.1, "band": [0.1, 10.0],
           "speed_up": 0.0001}
     conv = _conv()
-    _, loss_fn = make_forward(problem, lean=True, engine="auto",
+    _, loss_fn = make_forward(problem, lean=True, engine=engine,
                               reg_coeffs=rc)
     optimizer = make_adam_optimizer(conv)
     run_n = make_throughput_runner(loss_fn, conv, optimizer)
@@ -574,7 +574,35 @@ def wall_clock_to_fidelity(device, engine, target=1e-4):
             walls.append(time.perf_counter() - t0)
         wall = statistics.median(walls)
         spread = (max(walls) - min(walls)) / wall if wall else 0.0
-        return (wall, spread, float(state.loss), int(state.iteration))
+
+        # --- decomposition (round-5: the headline swung 0.051 -> 0.096 s
+        # between rounds at identical kernel throughput — the difference
+        # is host<->tunnel round trips, so report them separately) ---
+        # pure fetch round-trip on an already-materialized device array
+        rts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync(state.u_base)
+            rts.append(time.perf_counter() - t0)
+        rt = statistics.median(rts)
+        # device time: ONE launch running exactly iterations_to_target
+        # iterations (same kernel, single dispatch), minus one round trip
+        n_hit = int(state.iteration)
+        st1 = init_state(problem.u0_base)
+        _sync(run_segment(st1, n_hit).u_base)    # compile n=n_hit
+        devs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _sync(run_segment(init_state(problem.u0_base), n_hit).u_base)
+            devs.append(time.perf_counter() - t0)
+        device_s = max(statistics.median(devs) - rt, 0.0)
+        decomp = {
+            "wall_clock_device_s": round(device_s, 4),
+            "wall_clock_dispatch_s": round(max(wall - device_s, 0.0), 4),
+            "dispatch_roundtrip_s": round(rt, 4),
+        }
+        return (wall, spread, float(state.loss), int(state.iteration),
+                decomp)
 
     from qoc_tpu.models.forward import make_forward
     from qoc_tpu.optim.adam import (
@@ -610,7 +638,7 @@ def wall_clock_to_fidelity(device, engine, target=1e-4):
         walls.append(time.perf_counter() - t0)
     wall = statistics.median(walls)
     spread = (max(walls) - min(walls)) / wall if wall else 0.0
-    return wall, spread, float(state.loss), int(state.iteration)
+    return wall, spread, float(state.loss), int(state.iteration), None
 
 
 def main():
@@ -631,12 +659,12 @@ def main():
     if is_tpu:
         ips = rec("pi_pulse_mega", iters_per_sec_mega())
         xla_ips = rec("pi_pulse_xla_tree", iters_per_sec(primary, "auto"))
-        wall, wall_spread, loss, iters = wall_clock_to_fidelity(
+        wall, wall_spread, loss, iters, wall_decomp = wall_clock_to_fidelity(
             primary, "mega")
     else:
         ips = rec("pi_pulse_scan", iters_per_sec(primary, "scan"))
         xla_ips = ips
-        wall, wall_spread, loss, iters = wall_clock_to_fidelity(
+        wall, wall_spread, loss, iters, wall_decomp = wall_clock_to_fidelity(
             primary, "scan")
     bips = rec("batched_1024seed",
                batched_iters_per_sec_mega() if is_tpu
@@ -702,6 +730,7 @@ def main():
         "leakage_transmon_xla_iters_per_sec": round(leak_xla, 2),
         "wall_clock_to_1e-4_s": round(wall, 3),
         "wall_clock_spread": round(wall_spread, 3),
+        **(wall_decomp or {}),
         "final_loss": loss,
         "iterations_to_target": iters,
         "repeats": REPEATS,

@@ -110,6 +110,7 @@ def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
     converged = np.concatenate(conv_all)
     conv_count = int(np.sum(converged & (losses < conv_target)))
     solves = iters_total
+    below_gate = int(np.sum(losses < conv_target))
     best_per_grid = {
         float(g): float(np.min(losses[np.arange(n_seeds) % n_grid == i]))
         for i, g in enumerate(grid[:8])
@@ -128,6 +129,11 @@ def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
         "best_fidelity": 1.0 - float(np.min(losses)),
         "converged_count": conv_count,
         "converged_frac": round(conv_count / n_seeds, 4),
+        "seeds_below_gate": below_gate,
+        # the BASELINE pod metric: completed optimizations (loss < gate)
+        # per second of wall clock, the conv_target-loop semantics of
+        # run_session.py:56-58 at pod scale
+        "solves_per_sec": round(conv_count / wall, 3),
         "median_loss": float(np.median(losses)),
         "best_loss_first_8_grid_points": best_per_grid,
     }

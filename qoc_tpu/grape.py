@@ -10,7 +10,8 @@ New TPU-native keywords:
   * ``gradient_mode``: 'exact' (autodiff through the Taylor propagator,
     default) or 'reference' (the reference's first-order GRAPE gradient via
     custom_vjp, tensorflow_state.py:49-142, for trajectory parity).
-  * ``engine``: 'auto' | 'associative' (parallel-in-time) | 'scan'.
+  * ``engine``: 'auto' | 'associative' (parallel-in-time) | 'pscan'
+    (batched propagators + serial state scan) | 'scan'.
   * ``seed``: explicit RNG seed for the default random initial pulse
     (the reference uses unseeded np.random, system_parameters.py:282).
   * ``remat``: rematerialize propagators in the backward pass for long

@@ -163,6 +163,110 @@ def chain_product_tree(P):
 # ---------------------------------------------------------------------------
 
 
+def _pscan_run(mats, weights, psi0, order):
+    A = weighted_hamiltonians(mats, weights)
+    P = taylor_expm(A, order - 1, 0)   # powers 0..order-1, no scaling
+
+    def body(psi, Pt):
+        out = jnp.matmul(Pt, psi, precision=HIGHEST)
+        return out, out
+
+    _, v = lax.scan(body, psi0, P, unroll=8)
+    vecs = jnp.concatenate([psi0[None], v], axis=0)
+    return vecs, A, P
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pscan_chain(mats, weights, psi0, order):
+    """Batched-propagator state chain with a matvec-adjoint backward.
+
+    Forward (the ``pscan`` engine): P_t = Taylor_{0..order-1}(A_t) as ONE
+    batched [T, M, M] series on the MXU, then the serial state sweep
+    ``psi_t = P_t psi_{t-1}``.  Returns the full trajectory
+    ``[T+1, M, V]``.
+
+    Backward: the trajectory cotangent against a matrix product chain is
+    rank-V per step, so the exact polynomial gradient needs NO M^3 work —
+    this is the GRAPE adjoint (the reference's matvecexp_op_grad idea,
+    tensorflow_state.py:118-133, made exact and batched):
+
+      * reverse adjoint sweep  lam_{t-1} = P_t^T lam_t + g_{t-1}
+        (T serial transpose-matvecs);
+      * batched power ladders  f_l = A_t^l psi_{t-1},  b_j = (A_t^T)^j lam_t
+        (each ladder step is one bandwidth pass over A — parallel over t);
+      * exact truncated-series pairing
+          Abar_t = sum_{j+l+1 <= q} b_j f_l^T / (j+l+1)!
+        (two batched matmuls via the coefficient table), then
+        wbar = <mats_k, Abar_t>, matsbar = sum_t w_kt Abar_t.
+
+    This removes the 2x-forward M^3 Taylor backward of plain autodiff:
+    measured 32.8 -> 41.7 (pscan autodiff) -> see PERF.md (adjoint) on
+    BASELINE config 4 (dim 60, T=1000).
+    """
+    vecs, _, _ = _pscan_run(mats, weights, psi0, order)
+    return vecs
+
+
+def _pscan_chain_fwd(mats, weights, psi0, order):
+    vecs, A, P = _pscan_run(mats, weights, psi0, order)
+    return vecs, (mats, weights, A, P, vecs)
+
+
+def _pscan_chain_bwd(order, res, g):
+    import numpy as _np
+
+    mats, weights, A, P, vecs = res
+    q = order - 1                     # highest kept power in P
+    T = weights.shape[1]
+
+    # reverse adjoint sweep over t = T..1: carry lam_t, emit lam_t at
+    # slot t-1, next carry P_t^T lam_t + g[t-1]
+    def body(lam, xs):
+        Pt, gt = xs
+        lam_prev = jnp.matmul(jnp.swapaxes(Pt, -1, -2), lam,
+                              precision=HIGHEST) + gt
+        return lam_prev, lam
+
+    lam0, lams = lax.scan(body, g[T], (P, g[:T]), reverse=True, unroll=8)
+    # lams[t-1] = full cotangent of vecs[t]
+
+    if q < 1:
+        zero_w = jnp.zeros_like(weights)
+        return jnp.zeros_like(mats), zero_w, lam0
+
+    psi_prev = vecs[:-1]              # [T, M, V]
+    At = jnp.swapaxes(A, -1, -2)
+
+    def ladder(A_, x0):               # [T, M, V] -> [T, q, M, V]
+        xs = [x0]
+        for _ in range(1, q):
+            xs.append(jnp.einsum("tmn,tnv->tmv", A_, xs[-1],
+                                 precision=HIGHEST))
+        return jnp.stack(xs, axis=1)
+
+    F = ladder(A, psi_prev)           # f_l = A^l psi_{t-1}
+    B = ladder(At, lams)              # b_j = (A^T)^j lam_t
+
+    fact = _np.ones(2 * q, dtype=_np.float64)
+    for n in range(1, 2 * q):
+        fact[n] = fact[n - 1] * n
+    C = _np.zeros((q, q), dtype=_np.float32)
+    for j in range(q):
+        for l in range(q):
+            if j + l + 1 <= q:
+                C[j, l] = 1.0 / fact[j + l + 1]
+    C = jnp.asarray(C)
+
+    CF = jnp.einsum("jl,tlnv->tjnv", C, F, precision=HIGHEST)
+    Abar = jnp.einsum("tjmv,tjnv->tmn", B, CF, precision=HIGHEST)
+    wbar = jnp.einsum("kmn,tmn->kt", mats, Abar, precision=HIGHEST)
+    matsbar = jnp.einsum("kt,tmn->kmn", weights, Abar, precision=HIGHEST)
+    return matsbar, wbar, lam0
+
+
+pscan_chain.defvjp(_pscan_chain_fwd, _pscan_chain_bwd)
+
+
 def _matvec_step(A, psi, order: int):
     return taylor_expm_matvec(A, psi, order)
 
@@ -226,6 +330,15 @@ def state_transfer_chain(
         the serial matvec chain is launch-latency-bound on TPU; the
         associative form is ~2.5x faster per iteration (measured on
         TPU v5lite, 2-level system, T=1000).  Only for exact gradients.
+      * ``pscan``: batched Taylor step propagators (all MXU work parallel
+        over the time axis) + a serial [M,M]@[M,V] state scan with the
+        matvec-adjoint custom VJP (``pscan_chain``) — same math as
+        ``associative`` with the O(T) cumulative matrix products replaced
+        by O(T) mat-VECS and the M^3 Taylor backward replaced by batched
+        power ladders.  Measured on TPU v5lite, T=1000, trajectory cost:
+        3.5x associative at M=120 (BASELINE config 4: 32.8 -> 114.9
+        it/s), 4.7x at M=48, parity at M=16, slower at M=4 (serial
+        latency).  Only for exact gradients.
       * ``scan``: the serial matvec recursion (flops-optimal, required for
         the reference gradient mode whose custom VJP is per-step).
     """
@@ -235,12 +348,20 @@ def state_transfer_chain(
         M = mats.shape[-1]
         # Engine ladder for exact gradients on accelerators:
         #   tree   — fused Pallas kernel, small dims (pi pulse: 23us/iter)
-        #   associative — batched XLA ops (1.1ms/iter)
+        #   pscan  — batched Taylor propagators + serial state sweep with
+        #            the matvec-adjoint VJP; wins once per-step matrices
+        #            are real MXU tiles (measured on TPU v5lite, T=1000,
+        #            speed_up cost: M=16 parity, M=32 2.4x, M=48 4.7x,
+        #            M=120 3.5x over associative)
+        #   associative — batched XLA ops; best at tiny M (M=4: 3.5x over
+        #            pscan — the serial matvec latency dominates there)
         #   scan   — serial matvecs; best on CPU (0.08ms) and for huge dims.
         T = weights.shape[-1]
         if gradient_mode == "exact" and jax.default_backend() != "cpu":
             if final_only and tree_chain_supported(M, T):
                 engine = "tree"
+            elif M >= 16 and 8 * T * M * M < (1 << 31):
+                engine = "pscan"
             elif 4 * T * M * M * 3 < (1 << 30):
                 engine = "associative"
             else:
@@ -266,6 +387,20 @@ def state_transfer_chain(
         cum = lax.associative_scan(lambda a, b: _bmm(b, a), P)
         vecs = _bmm(cum, psi0)
         return jnp.concatenate([psi0[None], vecs], axis=0)
+
+    if engine == "pscan" and gradient_mode == "exact":
+        # batched Taylor (same matvec truncation) + serial state scan,
+        # with the matvec-adjoint custom VJP (see pscan_chain): the MXU
+        # does all the parallel [T,M,M] work, the serial sweeps are
+        # mat-VECS in both directions, and the backward needs no M^3
+        # Taylor re-differentiation.  The associative form's autodiff
+        # liveness spills to host memory at [1000,120,120] (the S(1)
+        # buffers in the round-5 dim60 trace); this path never exceeds
+        # P + the power ladders.
+        vecs = pscan_chain(mats, weights, psi0, order)
+        if final_only:
+            return vecs[-1][None]
+        return vecs
 
     if gradient_mode == "reference":
 

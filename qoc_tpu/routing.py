@@ -96,6 +96,8 @@ def resolve_single_engine(problem, reg_coeffs, gradient_mode: str,
         if gradient_mode == "exact" and on_accel:
             if not needs_inter and tree_chain_supported(M, p.steps):
                 return "tree"
+            if M >= 16 and 8 * p.steps * M * M < (1 << 31):
+                return "pscan"
             if 4 * p.steps * M * M * 3 < (1 << 30):
                 return "associative"
         return "scan"

@@ -161,14 +161,62 @@ def test_adjoint_state_grad_is_exact_for_hermitian(rng):
 
 
 def test_state_transfer_engines_agree(rng):
-    """Associative (batched-propagator) state chain == serial matvec chain."""
+    """Associative (batched-propagator) and pscan (batched-propagator +
+    serial state scan) chains == serial matvec chain."""
     _, _, mats, weights, _ = setup_problem(rng, T=12)
     psi0 = jnp.asarray(np.eye(6, 2, dtype=np.float32))
     a = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
                              order=10, engine="associative")
+    p = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
+                             order=10, engine="pscan")
     s = state_transfer_chain(jnp.asarray(mats), jnp.asarray(weights), psi0,
                              order=10, engine="scan")
     assert np.allclose(np.asarray(a), np.asarray(s), atol=1e-5)
+    assert np.allclose(np.asarray(p), np.asarray(s), atol=1e-5)
+
+
+def test_pscan_gradients_match_scan(rng):
+    """pscan value AND gradient == serial scan (both exact autodiff),
+    final_only and full-trajectory forms."""
+    _, _, mats, weights, _ = setup_problem(rng, T=15)
+    mats_j, w_j = jnp.asarray(mats), jnp.asarray(weights)
+    psi0 = jnp.asarray(np.eye(6, 1, dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((6, 1)).astype(np.float32))
+
+    def loss(w, engine, final_only):
+        vecs = state_transfer_chain(mats_j, w, psi0, order=10,
+                                    engine=engine, final_only=final_only)
+        # touch the whole trajectory so the trajectory cotangent is
+        # exercised (speed_up/forbidden read every step)
+        return jnp.sum(vecs[-1] * tgt) + 1e-3 * jnp.sum(jnp.square(vecs))
+
+    for fo in (False, True):
+        vs, gs = jax.value_and_grad(
+            lambda w: loss(w, "scan", fo))(w_j), None
+        vp = jax.value_and_grad(lambda w: loss(w, "pscan", fo))(w_j)
+        np.testing.assert_allclose(float(vs[0]), float(vp[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vs[1]), np.asarray(vp[1]),
+                                   atol=1e-4)
+
+
+def test_pscan_gradients_v2_and_mats(rng):
+    """pscan adjoint VJP with V=2 stacked vectors, including the mats
+    cotangent (exact matsbar = sum_t w_kt Abar_t) vs scan autodiff."""
+    _, _, mats, weights, _ = setup_problem(rng, T=9)
+    mats_j, w_j = jnp.asarray(mats), jnp.asarray(weights)
+    psi0 = jnp.asarray(np.eye(6, 2, dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((6, 2)).astype(np.float32))
+
+    def loss(m, w, engine):
+        vecs = state_transfer_chain(m, w, psi0, order=8, engine=engine)
+        return jnp.sum(vecs[-1] * tgt) + 1e-2 * jnp.sum(jnp.square(vecs))
+
+    gm_s, gw_s = jax.grad(lambda m, w: loss(m, w, "scan"),
+                          argnums=(0, 1))(mats_j, w_j)
+    gm_p, gw_p = jax.grad(lambda m, w: loss(m, w, "pscan"),
+                          argnums=(0, 1))(mats_j, w_j)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_s), atol=1e-4)
 
 
 def test_remat_chunked_matches(rng):

@@ -275,6 +275,55 @@ def trace_dim200(log_dir: str, n_iters: int = 20, n_seeds=None):
     return summ
 
 
+def trace_dim60(log_dir: str, n_iters: int = 20):
+    """Trace the BASELINE config-4 at-spec loop (dim-60 transmon-cavity
+    state transfer with dwdt + bandpass + speed_up, 1000 steps) — the
+    VERDICT r4 ask: a trace decomposition explaining the single-problem
+    throughput between the dim-64 unitary and the fused-chain regimes."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+    from qoc_tpu.utils.profiling import trace
+
+    import qoc_tpu as q
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "jobs"))
+    from make_transmon_cavity import MAXA, STEPS, TOTAL_TIME, build_system
+
+    H0, Hops, Hnames = build_system()
+    w_c, v_c, dressed_id = q.get_dressed_info(H0)
+    psi0 = v_c[:, q.get_state_index(0, dressed_id)]
+    tgt = v_c[:, q.get_state_index(1, dressed_id)]
+    problem = ControlProblem.build(
+        H0, Hops, Hnames, [tgt], TOTAL_TIME, STEPS, [psi0],
+        state_transfer=True,
+        dressed_info={"eigenvectors": v_c, "eigenvalues": np.real(w_c),
+                      "dressed_id": dressed_id, "is_dressed": True},
+        maxA=[MAXA] * 4, seed=0)
+    rc = {"dwdt": 0.0001, "bandpass": 0.1, "band": [0.1, 10.0],
+          "speed_up": 0.0001}
+    conv = bench._conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="auto",
+                              reg_coeffs=rc)
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jnp.asarray(problem.u0_base)
+    os0 = optimizer.init(u)
+    _sync(run_n(u, os0, 2)[0])
+    with trace(log_dir):
+        _sync(run_n(u, os0, n_iters)[0])
+    summ = summarize_trace(log_dir, top=20)
+    if summ:
+        summ["taylor_terms"] = problem.taylor_terms
+        summ["n_iters"] = n_iters
+    return summ
+
+
 def summarize_trace(log_dir: str, top: int = 12):
     """Aggregate device-op self time from the profiler's trace.json.gz."""
     paths = glob.glob(os.path.join(
@@ -359,6 +408,7 @@ def main():
     if args.trace:
         report["dim64_trace"] = trace_dim64(args.trace + "_d64")
         report["dim200_trace"] = trace_dim200(args.trace + "_d200")
+        report["dim60_trace"] = trace_dim60(args.trace + "_d60")
     print(json.dumps(report, indent=1))
 
 
