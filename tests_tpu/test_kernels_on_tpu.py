@@ -173,3 +173,64 @@ def test_engines_agree_on_device():
                                engine="associative")
     np.testing.assert_allclose(
         np.asarray(scan[-1]), np.asarray(asc[-1]), atol=2e-6)
+
+
+def test_pscan_adjoint_grad_on_device(rng):
+    """The pscan matvec-adjoint VJP on REAL hardware (MXU HIGHEST
+    matmuls + reverse sweep) vs scan autodiff, value and gradient, at an
+    MXU-tile dimension (M=32) with a trajectory-reading loss."""
+    levels = 16
+    a = np.diag(np.sqrt(np.arange(1, levels)), 1)
+    H0 = np.diag(np.arange(levels, dtype=float)) * 0.3
+    psi0 = np.zeros(levels, complex)
+    psi0[0] = 1
+    tgt = np.zeros(levels, complex)
+    tgt[1] = 1
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+
+    p = ControlProblem.build(
+        H0, [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        4.0, 50, [psi0], state_transfer=True, maxA=[1.0, 1.0], seed=0)
+    mats, w, psi0r = _chain_inputs(p)
+
+    def loss(w_, engine):
+        vecs = state_transfer_chain(mats, w_, psi0r, p.taylor_terms,
+                                    engine=engine)
+        return jnp.sum(jnp.square(vecs[-1])) + 1e-2 * jnp.sum(
+            jnp.square(vecs))
+
+    vs, gs = jax.value_and_grad(lambda w_: loss(w_, "scan"))(w)
+    vp, gp = jax.value_and_grad(lambda w_: loss(w_, "pscan"))(w)
+    np.testing.assert_allclose(float(vp), float(vs), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-3)
+
+
+def test_xla_cols_speed_up_on_device():
+    """In-carry speed_up on the column-batched path matches the vmapped
+    generic forward ON HARDWARE (round-5 xla-cols extension)."""
+    import qoc_tpu as q
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.parallel.batch import init_seeds
+    from qoc_tpu.parallel.xla_batch import (make_xla_batched_loss,
+                                            xla_cols_supported)
+
+    levels = 6
+    a = np.diag(np.sqrt(np.arange(1, levels)), 1)
+    psi0 = np.zeros(levels, complex)
+    psi0[0] = 1
+    tgt = np.zeros(levels, complex)
+    tgt[1] = 1
+    p = ControlProblem.build(
+        np.diag(np.arange(levels, dtype=float)) * 0.5,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"], [tgt],
+        3.0, 16, [psi0], state_transfer=True, maxA=[1.0, 1.0], seed=0)
+    rc = {"speed_up": 0.05}
+    assert xla_cols_supported(p, rc)
+    u = jnp.asarray(init_seeds(p, 3, jax.random.PRNGKey(5)))
+    lx = make_xla_batched_loss(p, rc)
+    rx, _ = lx(u)
+    _, loss_fn = make_forward(p, reg_coeffs=rc, lean=True, engine="scan")
+    for s in range(3):
+        want, _ = loss_fn(u[s])
+        np.testing.assert_allclose(float(rx[s]), float(want), atol=1e-4)

@@ -92,24 +92,38 @@ def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
     return 3 * fwd
 
 
-def flops_dim60_iter(T=1000, M=120, K=5, order=15):
+def flops_dim60_iter(T=1000, M=120, K=5, order=15, V=1):
     """BASELINE config-4 iteration (bench.cavity_dim60_iters_per_sec):
     dim-60 transmon-cavity state transfer, dressed, dwdt + bandpass +
-    speed_up, 1000 steps.  needs_inter (speed_up) routes the auto ladder
-    to the *associative* engine: step_propagators (weighted_hamiltonians
-    einsum + taylor_expm with powers 0..order-1, no scaling -> order-2
-    batched matmuls over [T,M,M]) then lax.associative_scan cumulative
-    product (~2T matmuls up+down sweep) and a [T,M,M]@[M,V] inter-vec
-    readout.  Backward = 2x the forward matmul flops (reverse-mode of a
-    matmul is two matmuls); costs/Adam are elementwise noise.  M=120 pads
-    to 128 lanes on the MXU ((120/128)^2 = 88% tile occupancy is part of
-    the measured gap, not the model)."""
+    speed_up, 1000 steps.  Since round 5 the auto ladder routes this to
+    the *pscan* engine (ops/propagation.py::pscan_chain): batched Taylor
+    propagators (order-2 batched [T,M,M] matmuls) + serial state sweep
+    forward; matvec-adjoint backward (reverse sweep + two batched power
+    LADDERS of [T,M,V] matvecs + the series-pairing matmuls) — the M^3
+    Taylor re-differentiation of plain autodiff is gone, so the flop
+    count is ~fwd + small, NOT 3x fwd.  The governing ceiling is HBM
+    bandwidth (see hbm_bytes_dim60_iter), not the MXU."""
+    q = order - 1
     wh = 2 * T * K * M * M
     expm = 2 * (order - 2) * T * M ** 3
-    cumprod = 2 * 2 * T * M ** 3
-    inter = 2 * T * M * M  # V=1
-    fwd = wh + expm + cumprod + inter
-    return 3 * fwd
+    sweeps = 2 * 2 * T * M * M * V            # fwd + adjoint matvecs
+    ladders = 2 * 2 * (q - 1) * T * M * M * V  # f and b power ladders
+    pairing = 2 * T * q * M * M * V + 2 * T * q * M * V * q  # B^T(CF), CF
+    wbar = 2 * 2 * K * T * M * M               # wbar + matsbar einsums
+    return wh + expm + sweeps + ladders + pairing + wbar
+
+
+def hbm_bytes_dim60_iter(T=1000, M=120, order=15):
+    """HBM traffic model for the pscan iteration: each batched Taylor
+    matmul reads A + the running power and writes the next power
+    (3 x 4TM^2); each power-ladder step reads A once; the serial sweeps
+    read P forward and backward; pairing/wbar read Abar-sized arrays."""
+    a = 4 * T * M * M                 # one [T,M,M] f32 array
+    taylor = (order - 2) * 3 * a
+    ladders = 2 * (order - 2) * a
+    sweeps = 2 * a                    # P read in both sweeps
+    pairing = 3 * a                   # Abar write + wbar/matsbar reads
+    return taylor + ladders + sweeps + pairing
 
 
 def _dim200_order():
@@ -394,9 +408,17 @@ def main():
             "flops_per_iter_g": round(f60 / 1e9, 2),
             "achieved_tflops": round(d60_rate / 1e12, 2),
             "mfu_vs_f32_ceiling_pct": round(100 * d60_rate / F32_HIGHEST_PEAK, 1),
-            "note": "V=1 serial-in-time config: throughput rides the "
-                    "batched [T,120,120] Taylor matmuls (88% tile "
-                    "occupancy at M=120); costs incl. bandpass+speed_up",
+            "hbm_bytes_per_iter_gb": round(hbm_bytes_dim60_iter() / 1e9, 2),
+            "hbm_bound_ms_per_iter": round(
+                1e3 * hbm_bytes_dim60_iter() / HBM_BW, 2),
+            "pct_of_hbm_roofline": round(
+                100 * (hbm_bytes_dim60_iter() / HBM_BW)
+                * m["dim60"]["iters_per_sec"], 1),
+            "note": "pscan engine (round 5): HBM-bound batched Taylor + "
+                    "power ladders + ~2ms serial matvec latency; the "
+                    "pre-round-5 associative engine spent 12ms/iter in "
+                    "host-spilled (S(1)) scan combines — see dim60_trace "
+                    "and PERF.md",
         },
         "pi_pulse": {
             **{k: round(v, 2) for k, v in m["pi_pulse"].items()},
