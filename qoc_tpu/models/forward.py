@@ -119,9 +119,15 @@ def make_forward(
             if not needs_inter:
                 inter_vecs = None
         else:
-            from ..ops.propagation import evolve_unitary_tree
+            from ..ops.propagation import (
+                chain_product_tree,
+                evolve_unitary_pscan,
+                evolve_unitary_tree,
+                step_propagators,
+            )
             from ..ops.pallas_tree import tree_chain_supported
 
+            M2 = 2 * N
             use_tree = (
                 not needs_inter
                 and gradient_mode == "exact"
@@ -130,7 +136,21 @@ def make_forward(
                     or (
                         engine == "auto"
                         and jax.default_backend() != "cpu"
-                        and tree_chain_supported(2 * N, p.steps)
+                        and tree_chain_supported(M2, p.steps)
+                    )
+                )
+            )
+            reps = 1 << p.taylor_scaling
+            use_pscan = (
+                not use_tree
+                and gradient_mode == "exact"
+                and (
+                    engine == "pscan"
+                    or (
+                        engine == "auto"
+                        and jax.default_backend() != "cpu"
+                        and M2 >= 16
+                        and 8 * p.steps * reps * M2 * M2 < (1 << 31)
                     )
                 )
             )
@@ -139,17 +159,35 @@ def make_forward(
                     mats_, weights, U0, p.taylor_terms, p.taylor_scaling
                 )
                 inter_vecs = None
+                final_vecs = jnp.matmul(final_U, psi0, precision=HIGHEST)
+                unitary_scale = (0.5 / N) * jnp.sum(
+                    jnp.matmul(final_U.T, final_U, precision=HIGHEST)
+                )
+            elif use_pscan:
+                # rank-V adjoint chain: the loss reads the unitary only
+                # through final_vecs, so the full product is needed just
+                # as an OUTPUT — computed forward-only (stop_gradient)
+                # and dead-code-eliminated inside optimization loops
+                # that never read final_state
+                final_vecs, unitary_scale, inter_vecs = evolve_unitary_pscan(
+                    mats_, weights, U0, psi0, p.taylor_terms,
+                    p.taylor_scaling, use_inter_vecs=needs_inter,
+                )
+                final_U = jax.lax.stop_gradient(jnp.matmul(
+                    chain_product_tree(step_propagators(
+                        mats_, weights, p.taylor_terms, p.taylor_scaling)),
+                    U0, precision=HIGHEST))
             else:
                 final_U, inter_vecs = evolve_unitary(
                     mats_, weights, U0, psi0, p.taylor_terms, p.taylor_scaling,
                     gradient_mode=gradient_mode, engine=unitary_engine,
                     use_inter_vecs=needs_inter, remat=remat,
                 )
-            final_vecs = jnp.matmul(final_U, psi0, precision=HIGHEST)
+                final_vecs = jnp.matmul(final_U, psi0, precision=HIGHEST)
+                unitary_scale = (0.5 / N) * jnp.sum(
+                    jnp.matmul(final_U.T, final_U, precision=HIGHEST)
+                )
             loss = 1.0 - inner_product_2d(final_vecs, target_vecs, N)
-            unitary_scale = (0.5 / N) * jnp.sum(
-                jnp.matmul(final_U.T, final_U, precision=HIGHEST)
-            )
             final_state = final_U
 
         ctx = CostContext(

@@ -113,7 +113,15 @@ def chain_associative(P, U0, psi0):
 
 
 def chain_scan(P, U0, psi0, unroll: int = 1):
-    """Serial scan chain carrying (U, psi) — flops-optimal for large M."""
+    """Serial scan chain carrying (U, psi) — flops-optimal for large M.
+
+    The vector chain starts from ``U0 @ psi0``: the reference's
+    inter_states include U0 (tensorflow_state.py:211-214) and
+    inter_vec_t = inter_states[t] @ psi0, while entry 0 is the RAW packed
+    psi0 (:233-238).  (Round-5 fix: the chain previously started the
+    vector carry at psi0, silently dropping a non-identity U0 from the
+    intermediate vectors — matching chain_associative and the reference
+    now.)"""
 
     def body(carry, Pt):
         U, psi = carry
@@ -121,7 +129,8 @@ def chain_scan(P, U0, psi0, unroll: int = 1):
         psi = _bmm(Pt, psi)
         return (U, psi), psi
 
-    (final_U, _), vecs = lax.scan(body, (U0, psi0), P, unroll=unroll)
+    (final_U, _), vecs = lax.scan(body, (U0, _bmm(U0, psi0)), P,
+                                  unroll=unroll)
     inter_vecs = jnp.concatenate([psi0[None], vecs], axis=0)
     return final_U, inter_vecs
 
@@ -163,89 +172,110 @@ def chain_product_tree(P):
 # ---------------------------------------------------------------------------
 
 
-def _pscan_run(mats, weights, psi0, order):
+def _pscan_run(mats, weights, psi0, order, reps):
     A = weighted_hamiltonians(mats, weights)
-    P = taylor_expm(A, order - 1, 0)   # powers 0..order-1, no scaling
+    if reps > 1:
+        A = A / reps                  # exp(A) = Q^reps, Q = Taylor(A/reps)
+    Q = taylor_expm(A, order - 1, 0)  # powers 0..order-1, no squaring
 
-    def body(psi, Pt):
-        out = jnp.matmul(Pt, psi, precision=HIGHEST)
-        return out, out
+    def body(psi, Qt):
+        outs = []
+        for _ in range(reps):
+            psi = jnp.matmul(Qt, psi, precision=HIGHEST)
+            outs.append(psi)
+        return psi, jnp.stack(outs)   # [reps, M, V]
 
-    _, v = lax.scan(body, psi0, P, unroll=8)
-    vecs = jnp.concatenate([psi0[None], v], axis=0)
-    return vecs, A, P
+    _, v = lax.scan(body, psi0, Q, unroll=8 if reps == 1 else 2)
+    T, M, V = weights.shape[1], psi0.shape[0], psi0.shape[1]
+    flat = v.reshape(T * reps, M, V)
+    vecs = jnp.concatenate([psi0[None], flat], axis=0)
+    return vecs, A, Q
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def pscan_chain(mats, weights, psi0, order):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pscan_chain(mats, weights, psi0, order, reps=1):
     """Batched-propagator state chain with a matvec-adjoint backward.
 
-    Forward (the ``pscan`` engine): P_t = Taylor_{0..order-1}(A_t) as ONE
-    batched [T, M, M] series on the MXU, then the serial state sweep
-    ``psi_t = P_t psi_{t-1}``.  Returns the full trajectory
-    ``[T+1, M, V]``.
+    Forward (the ``pscan`` engine): Q_t = Taylor_{0..order-1}(A_t / reps)
+    as ONE batched [T, M, M] series on the MXU, then the serial state
+    sweep applying Q_t ``reps`` times per timestep (``reps = 2**scaling``
+    expands the unitary-mode squaring chain into repeated sub-steps —
+    exp(A) = Taylor(A/2^s)^(2^s), tensorflow_state.py:31,43-44).
+    Returns the full sub-step trajectory ``[T*reps + 1, M, V]``; for
+    state transfer reps=1 and this is the ordinary [T+1, M, V].
 
     Backward: the trajectory cotangent against a matrix product chain is
     rank-V per step, so the exact polynomial gradient needs NO M^3 work —
     this is the GRAPE adjoint (the reference's matvecexp_op_grad idea,
     tensorflow_state.py:118-133, made exact and batched):
 
-      * reverse adjoint sweep  lam_{t-1} = P_t^T lam_t + g_{t-1}
-        (T serial transpose-matvecs);
-      * batched power ladders  f_l = A_t^l psi_{t-1},  b_j = (A_t^T)^j lam_t
-        (each ladder step is one bandwidth pass over A — parallel over t);
+      * reverse adjoint sweep  lam_{i-1} = Q^T lam_i + g_{i-1}
+        (T*reps serial transpose-matvecs);
+      * batched power ladders  f_l = A^l psi_prev,  b_j = (A^T)^j lam
+        over every sub-step (each ladder step is one bandwidth pass over
+        A — parallel over t);
       * exact truncated-series pairing
-          Abar_t = sum_{j+l+1 <= q} b_j f_l^T / (j+l+1)!
+          Abar_t = sum_r sum_{j+l+1 <= q} b_j f_l^T / (j+l+1)!
         (two batched matmuls via the coefficient table), then
-        wbar = <mats_k, Abar_t>, matsbar = sum_t w_kt Abar_t.
+        wbar = <mats_k, Abar_t>/reps, matsbar = sum_t w_kt Abar_t / reps.
 
     This removes the 2x-forward M^3 Taylor backward of plain autodiff:
-    measured 32.8 -> 41.7 (pscan autodiff) -> see PERF.md (adjoint) on
-    BASELINE config 4 (dim 60, T=1000).
+    measured 32.8 -> 114.9 it/s on BASELINE config 4 (see PERF.md).
     """
-    vecs, _, _ = _pscan_run(mats, weights, psi0, order)
+    vecs, _, _ = _pscan_run(mats, weights, psi0, order, reps)
     return vecs
 
 
-def _pscan_chain_fwd(mats, weights, psi0, order):
-    vecs, A, P = _pscan_run(mats, weights, psi0, order)
-    return vecs, (mats, weights, A, P, vecs)
+def _pscan_chain_fwd(mats, weights, psi0, order, reps):
+    vecs, A, Q = _pscan_run(mats, weights, psi0, order, reps)
+    return vecs, (mats, weights, A, Q, vecs)
 
 
-def _pscan_chain_bwd(order, res, g):
+def _pscan_chain_bwd(order, reps, res, g):
     import numpy as _np
 
-    mats, weights, A, P, vecs = res
-    q = order - 1                     # highest kept power in P
+    mats, weights, A, Q, vecs = res
+    q = order - 1                     # highest kept power in Q
     T = weights.shape[1]
+    M, V = vecs.shape[1], vecs.shape[2]
+    g0 = g[0]
+    gsub = g[1:].reshape(T, reps, M, V)
 
-    # reverse adjoint sweep over t = T..1: carry lam_t, emit lam_t at
-    # slot t-1, next carry P_t^T lam_t + g[t-1]
-    def body(lam, xs):
-        Pt, gt = xs
-        lam_prev = jnp.matmul(jnp.swapaxes(Pt, -1, -2), lam,
-                              precision=HIGHEST) + gt
-        return lam_prev, lam
+    # reverse adjoint sweep over blocks t = T-1..0; carry mu = the
+    # cotangent pulled back through the first sub-step of block t+1.
+    # Within a block, sub-steps r = reps-1..0:
+    #   lam_{t,r} = mu + g[t,r];  mu = Q_t^T lam_{t,r}
+    def body(mu, xs):
+        Qt, gt = xs                   # gt: [reps, M, V]
+        QtT = jnp.swapaxes(Qt, -1, -2)
+        lams_r = [None] * reps
+        for r in range(reps - 1, -1, -1):
+            lam = mu + gt[r]
+            lams_r[r] = lam
+            mu = jnp.matmul(QtT, lam, precision=HIGHEST)
+        return mu, jnp.stack(lams_r)  # [reps, M, V]
 
-    lam0, lams = lax.scan(body, g[T], (P, g[:T]), reverse=True, unroll=8)
-    # lams[t-1] = full cotangent of vecs[t]
+    mu0, lams = lax.scan(body, jnp.zeros_like(g0), (Q, gsub),
+                         reverse=True, unroll=8 if reps == 1 else 2)
+    psi0_bar = mu0 + g0
+    # lams[t, r] = full cotangent of the state AFTER sub-step (t, r)
 
     if q < 1:
-        zero_w = jnp.zeros_like(weights)
-        return jnp.zeros_like(mats), zero_w, lam0
+        return jnp.zeros_like(mats), jnp.zeros_like(weights), psi0_bar
 
-    psi_prev = vecs[:-1]              # [T, M, V]
+    # states BEFORE each sub-step, in the same [T, reps, M, V] layout
+    pre = vecs[:-1].reshape(T, reps, M, V)
     At = jnp.swapaxes(A, -1, -2)
 
-    def ladder(A_, x0):               # [T, M, V] -> [T, q, M, V]
+    def ladder(A_, x0):               # [T, reps, M, V] -> [T, reps, q, M, V]
         xs = [x0]
         for _ in range(1, q):
-            xs.append(jnp.einsum("tmn,tnv->tmv", A_, xs[-1],
+            xs.append(jnp.einsum("tmn,trnv->trmv", A_, xs[-1],
                                  precision=HIGHEST))
-        return jnp.stack(xs, axis=1)
+        return jnp.stack(xs, axis=2)
 
-    F = ladder(A, psi_prev)           # f_l = A^l psi_{t-1}
-    B = ladder(At, lams)              # b_j = (A^T)^j lam_t
+    F = ladder(A, pre)                # f_l = A^l psi_prev
+    B = ladder(At, lams)              # b_j = (A^T)^j lam
 
     fact = _np.ones(2 * q, dtype=_np.float64)
     for n in range(1, 2 * q):
@@ -257,14 +287,55 @@ def _pscan_chain_bwd(order, res, g):
                 C[j, l] = 1.0 / fact[j + l + 1]
     C = jnp.asarray(C)
 
-    CF = jnp.einsum("jl,tlnv->tjnv", C, F, precision=HIGHEST)
-    Abar = jnp.einsum("tjmv,tjnv->tmn", B, CF, precision=HIGHEST)
-    wbar = jnp.einsum("kmn,tmn->kt", mats, Abar, precision=HIGHEST)
-    matsbar = jnp.einsum("kt,tmn->kmn", weights, Abar, precision=HIGHEST)
-    return matsbar, wbar, lam0
+    CF = jnp.einsum("jl,trlnv->trjnv", C, F, precision=HIGHEST)
+    Abar = jnp.einsum("trjmv,trjnv->tmn", B, CF, precision=HIGHEST)
+    inv = 1.0 / reps                  # dA_scaled/dw = mats/reps
+    wbar = inv * jnp.einsum("kmn,tmn->kt", mats, Abar, precision=HIGHEST)
+    matsbar = inv * jnp.einsum("kt,tmn->kmn", weights, Abar,
+                               precision=HIGHEST)
+    return matsbar, wbar, psi0_bar
 
 
 pscan_chain.defvjp(_pscan_chain_fwd, _pscan_chain_bwd)
+
+
+def evolve_unitary_pscan(mats, weights, U0, psi0, order, scaling,
+                         use_inter_vecs):
+    """Unitary-mode forward through the state-column pscan chain.
+
+    The optimization loss in unitary mode reads the final unitary ONLY
+    through ``final_vecs = U_total @ psi0`` (rank-V), so the gradient can
+    ride the same matvec-adjoint chain as state transfer: the squaring
+    branch exp(A) = Taylor(A/2^s)^(2^s) expands into ``2^s`` repeated
+    Q-applications per timestep (``pscan_chain`` reps).  The
+    ``unitary_scale`` diagnostic 0.5/N * sum(F^T F) needs no full
+    unitary either: sum_ij (F^T F)_ij = ||F @ 1||^2, so ONE extra
+    propagated ones-column yields it exactly.
+
+    Returns (final_vecs [M, V], unitary_scale scalar, inter_vecs or
+    None).  The full final unitary, when a caller needs it for output,
+    should be computed forward-only (stop_gradient product tree) — see
+    models/forward.py.
+    """
+    reps = 1 << scaling
+    M = psi0.shape[0]
+    V = psi0.shape[1]
+    N = M // 2
+    s0 = jnp.matmul(U0, psi0, precision=HIGHEST)
+    ones_col = jnp.matmul(U0, jnp.ones((M, 1), dtype=psi0.dtype),
+                          precision=HIGHEST)
+    cols = jnp.concatenate([s0, ones_col], axis=1)
+    vecs_all = pscan_chain(mats, weights, cols, order + 1, reps)
+    final = vecs_all[-1]
+    final_vecs = final[:, :V]
+    unitary_scale = (0.5 / N) * jnp.sum(jnp.square(final[:, V]))
+    inter_vecs = None
+    if use_inter_vecs:
+        # reference convention: entry 0 is the RAW packed psi0
+        # (tensorflow_state.py:229-242); entries >= 1 include U0
+        inter_vecs = jnp.concatenate(
+            [psi0[None], vecs_all[reps::reps, :, :V]], axis=0)
+    return final_vecs, unitary_scale, inter_vecs
 
 
 def _matvec_step(A, psi, order: int):
@@ -397,7 +468,7 @@ def state_transfer_chain(
         # liveness spills to host memory at [1000,120,120] (the S(1)
         # buffers in the round-5 dim60 trace); this path never exceeds
         # P + the power ladders.
-        vecs = pscan_chain(mats, weights, psi0, order)
+        vecs = pscan_chain(mats, weights, psi0, order, 1)
         if final_only:
             return vecs[-1][None]
         return vecs

@@ -219,6 +219,72 @@ def test_pscan_gradients_v2_and_mats(rng):
     np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_s), atol=1e-4)
 
 
+def test_unitary_pscan_forward_matches(rng):
+    """Unitary-mode pscan (rank-V adjoint chain + ones-column
+    unitary_scale + stop-grad product tree) == the associative/scan
+    unitary forward: loss, unitary_scale, final_state, inter_vecs, and
+    the u_base gradient — including a REAL squaring branch (scaling=2)
+    and a non-identity U0."""
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+
+    a = q.annihilate(3)
+    U0 = np.asarray(
+        np.cos(0.3) * np.eye(3)
+        - 1j * np.sin(0.3) * (a + a.conj().T) / np.sqrt(2), dtype=complex)
+    # make U0 exactly unitary via QR
+    U0, _ = np.linalg.qr(U0)
+    problem = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, 14, [0, 1], U0=U0,
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+    )
+    assert problem.taylor_scaling == 2
+    rc = {"forbidden_coeff_list": [2.0], "states_forbidden_list": [2]}
+    f_ref, l_ref = make_forward(problem, reg_coeffs=rc, engine="scan")
+    f_ps, l_ps = make_forward(problem, reg_coeffs=rc, engine="pscan")
+    u = jnp.asarray(problem.u0_base)
+    o_ref, o_ps = f_ref(u), f_ps(u)
+    np.testing.assert_allclose(float(o_ps.loss), float(o_ref.loss),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(o_ps.unitary_scale),
+                               float(o_ref.unitary_scale), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_ps.final_state),
+                               np.asarray(o_ref.final_state), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_ps.inter_vecs),
+                               np.asarray(o_ref.inter_vecs), atol=1e-5)
+    g_ref = jax.grad(lambda x: l_ref(x)[0])(u)
+    g_ps = jax.grad(lambda x: l_ps(x)[0])(u)
+    np.testing.assert_allclose(np.asarray(g_ps), np.asarray(g_ref),
+                               atol=2e-5)
+
+
+def test_unitary_pscan_lean_no_inter(rng):
+    """Lean unitary pscan (no trajectory costs): loss and gradient match
+    the tree/associative lean path."""
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+
+    a = q.annihilate(3)
+    problem = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+        [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+        q.transmon_gate(q.SIGMA_X, 3), 3.0, 14, [0],
+        maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+    )
+    _, l_ref = make_forward(problem, engine="scan", lean=True)
+    _, l_ps = make_forward(problem, engine="pscan", lean=True)
+    u = jnp.asarray(problem.u0_base)
+    (v_ref, _), g_ref = jax.value_and_grad(l_ref, has_aux=True)(u)
+    (v_ps, _), g_ps = jax.value_and_grad(l_ps, has_aux=True)(u)
+    np.testing.assert_allclose(float(v_ps), float(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ps), np.asarray(g_ref),
+                               atol=2e-5)
+
+
 def test_remat_chunked_matches(rng):
     """Chunked-remat final-only scan == plain scan, values and gradients."""
     _, _, mats, weights, _ = setup_problem(rng, T=23)

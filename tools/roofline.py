@@ -49,28 +49,37 @@ def _sync(x):
 # ---------------------------------------------------------------------------
 
 
-def flops_dim64_iter(T=200, M=128, K=5, order=8, scaling=2):
+def flops_dim64_iter(T=200, M=128, K=5, order=8, scaling=2, V=4):
     """Unitary-mode lean iteration at dim 64 (bench.dim64_iters_per_sec).
 
-    Forward: weighted_hamiltonians ([T,K]x[K,M^2] einsum), taylor_expm
-    ((order-1) batched matmuls + `scaling` squarings over [T,M,M]),
-    chain_product_tree (~T-1 matmuls).  Backward: reverse-mode of a matmul
-    = 2 matmuls -> 2x the forward matmul flops.  Adam update negligible.
+    Since round 5 the auto ladder routes this through the unitary pscan
+    chain (evolve_unitary_pscan): Q-series ((order-1) batched [T,M,M]
+    matmuls, NO squarings — the squaring branch expands into reps
+    repeated serial matvecs), serial state sweep over T*reps sub-steps
+    with V+1 columns (the +1 is the ones-column unitary_scale trick),
+    matvec-adjoint backward (reverse sweep + 2(q-1) power-ladder passes
+    + the series pairing).  The product tree / full-U computation is
+    stop-gradient and DCE'd in the optimization loop.  The M^3 backward
+    of the pre-round-5 engine (3x forward, 25.25 G/iter trace-verified
+    in round 3) is gone; the governing ceiling is HBM + serial latency.
     """
+    q = order
+    reps = 1 << scaling
+    Vp = V + 1
     wh = 2 * T * K * M * M
-    expm = 2 * ((order - 1) + scaling) * T * M ** 3
-    tree = 2 * (T - 1) * M ** 3
-    fwd = wh + expm + tree
-    return 3 * fwd  # fwd + bwd(2x)
+    expm = 2 * (order - 1) * T * M ** 3
+    sweeps = 2 * 2 * T * reps * M * M * Vp
+    ladders = 2 * 2 * (q - 1) * T * reps * M * M * Vp
+    pairing = 2 * T * M * M * (reps * q * Vp)
+    return wh + expm + sweeps + ladders + pairing
 
 
 def hbm_bytes_dim64_iter(T=200, M=128, order=8, scaling=2):
-    """Minimum HBM traffic if XLA materializes each [T,M,M] matmul's
-    operands/result in HBM (the observed XLA schedule): 3 arrays per
-    matmul, 4 bytes each, fwd + 2x bwd."""
-    n_mm = (order - 1) + scaling + 1  # expm + tree per T element
-    per_mm = 3 * 4 * M * M
-    return 3 * n_mm * T * per_mm
+    """HBM traffic of the round-5 pscan path: 3 passes per Q-series
+    matmul, one A pass per ladder level (x2 ladders), Q read in both
+    serial sweeps, pairing/wbar reads."""
+    a = 4 * T * M * M
+    return (order - 1) * 3 * a + 2 * (order - 1) * a + 2 * a + 3 * a
 
 
 def flops_dim200_iter(T=200, M=400, S=64, Kp=4, order=None):
