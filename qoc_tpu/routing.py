@@ -110,4 +110,10 @@ def resolve_single_engine(problem, reg_coeffs, gradient_mode: str,
     )
     if use_tree:
         return "tree"
+    reps = 1 << p.taylor_scaling
+    if gradient_mode == "exact" and (
+            engine == "pscan"
+            or (engine == "auto" and on_accel and M >= 16
+                and 8 * p.steps * reps * M * M < (1 << 31))):
+        return "pscan"
     return pick_engine(M, p.steps) if engine == "auto" else engine

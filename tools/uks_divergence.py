@@ -82,8 +82,12 @@ def divergence_curves(cfg_path: str, n_iters: int = 200, stride: int = 10):
         sm0 = run_m(init_m(problem.u0_base), 1)
         g_a = np.asarray(sm0.m)[:, :problem.steps] / 0.1  # m1 = (1-b1) g
     else:
-        engine_a = "associative"
-        _, loss_a = make_forward(problem, lean=True, engine="associative",
+        # round 5: Grape's auto ladder picks pscan (the matvec-adjoint
+        # chain) at M >= 16 and associative below — mirror that here so
+        # engine A stays the pairing the parity pack's prefix runs use
+        engine_a = ("pscan" if 2 * problem.state_num >= 16
+                    else "associative")
+        _, loss_a = make_forward(problem, lean=True, engine=engine_a,
                                  reg_coeffs=rc)
         run_a, _ = make_segment_runner(loss_a, conv, optimizer)
         s = init_adam_state(problem.u0_base, optimizer)
