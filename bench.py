@@ -418,6 +418,44 @@ def dim200_grid_4096_seediters(n_seeds=4096, n_iters=20, chunk=2048):
     return _measure(all_chunks, n_seeds * n_iters)
 
 
+def dim200_single_iters_per_sec(device, n_iters=60):
+    """Single-problem dim-200 time-optimal state transfer (speed_up +
+    dwdt costs) — the large-M single-problem regime the r4 VERDICT
+    called out.  engine='auto' routes the pscan matvec-adjoint chain
+    (M=400, T=200)."""
+    import jax
+    import jax.numpy as jnp
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.optim.adam import make_adam_optimizer, make_throughput_runner
+
+    Nc = 100
+    a = np.kron(np.eye(2), np.diag(np.sqrt(np.arange(1, Nc)), 1))
+    sm = np.kron(np.array([[0, 1], [0, 0]]), np.eye(Nc))
+    H0 = (2 * np.pi * 0.1 * (a.conj().T @ a)
+          + 2 * np.pi * 0.05 * (a.conj().T @ sm + a @ sm.conj().T))
+    Hops = [sm + sm.conj().T, 1j * (sm - sm.conj().T), a + a.conj().T]
+    psi0 = np.zeros(2 * Nc, complex)
+    psi0[0] = 1
+    tgt = np.zeros(2 * Nc, complex)
+    tgt[Nc] = 1
+    problem = ControlProblem.build(
+        H0, Hops, ["x", "y", "c"], [tgt], 4.0, 200, [psi0],
+        state_transfer=True, maxA=[2 * np.pi * 0.3] * 3, seed=0,
+    )
+    rc = {"speed_up": 0.001, "dwdt": 0.0001}
+    conv = _conv()
+    _, loss_fn = make_forward(problem, lean=True, engine="auto",
+                              reg_coeffs=rc)
+    optimizer = make_adam_optimizer(conv)
+    run_n = make_throughput_runner(loss_fn, conv, optimizer)
+    u = jax.device_put(jnp.asarray(problem.u0_base), device)
+    os0 = jax.device_put(optimizer.init(jnp.asarray(problem.u0_base)),
+                         device)
+    _sync(run_n(u, os0, 3)[0])
+    return _measure(lambda: _sync(run_n(u, os0, n_iters)[0]), n_iters)
+
+
 def batched_iters_per_sec(device, n_seeds=1024, n_iters=100):
     """Aggregate (seeds x iterations)/sec through the fused Pallas batch
     kernel (parallel/pallas_batch.py): all seeds packed on the lane axis."""
@@ -687,6 +725,8 @@ def main():
     # vmapped generic backend, 4.6x slower (VERDICT r4 missing #2)
     d200_su = (rec("dim200_speedup_64seed", dim200_sweep_iters_per_sec(
         reg_coeffs={"speed_up": 0.001})) if is_tpu else 0.0)
+    d200_1 = (rec("dim200_single", dim200_single_iters_per_sec(primary))
+              if is_tpu else 0.0)
     cav = rec("cavity_costs_dim24", cavity_costs_iters_per_sec(primary))
     cav60 = (rec("cavity_costs_dim60", cavity_dim60_iters_per_sec(primary))
              if is_tpu else 0.0)
@@ -730,6 +770,7 @@ def main():
         "dim200_cavity_128seed_iters_per_sec": round(d200_128, 2),
         "dim200_cavity_64seed_iters_per_sec": round(d200, 2),
         "dim200_speedup_64seed_iters_per_sec": round(d200_su, 2),
+        "dim200_single_iters_per_sec": round(d200_1, 2),
         "dim200_4096seed_grid_seediters_per_sec": round(grid4096, 2),
         "cavity_costs_dim60_iters_per_sec": round(cav60, 2),
         "cavity_costs_dim24_iters_per_sec": round(cav, 2),
