@@ -121,11 +121,11 @@ def make_batched_runner(
         (pulse-shape + bandpass + forbidden); ~5x 'pallas'.
       * 'pallas' — fused chain kernel per loss evaluation
         (parallel/pallas_batch.py), XLA backward + optax update.
-      * 'xla-cols' — column-batched XLA chain for LARGE dims (V <= 8,
+      * 'xla-cols' — column-batched XLA chain for LARGE dims (any V,
         all 7 costs incl. in-carry forbidden + speed_up;
         parallel/xla_batch.py).
       * 'xla'    — vmapped generic forward (always available; the only
-        backend for per-seed mats sweeps and V > 8).
+        backend for per-seed mats sweeps).
       * 'auto'   — mega when supported on an accelerator, else pallas,
         else xla-cols, else xla.
 

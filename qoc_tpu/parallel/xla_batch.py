@@ -25,8 +25,9 @@ the round-4 unconditional pad was a regression and is now conditional).
 Padded columns carry zero state and zero weights and are sliced off
 before the fidelity/penalty reductions.
 
-Scope: V <= 8 concerned vectors (coherent inner_product_2D group
-fidelity), state transfer or unitary mode (any taylor_scaling —
+Scope: any number of concerned vectors (coherent inner_product_2D group
+fidelity; the V <= 8 limit is a Pallas lane-group-sum constraint and
+does not apply here), state transfer or unitary mode (any taylor_scaling —
 squarings run as repeated pre-scaled Taylor applications to the state
 block, so no per-seed matrices exist), pulse-only penalties PLUS the
 trajectory penalties: forbidden-state occupation (static projection rows
@@ -59,8 +60,10 @@ _FORB_KEYS = ("forbidden_coeff_list", "forbidden",
 def xla_cols_supported(problem: ControlProblem,
                        reg_coeffs: Optional[dict]) -> bool:
     rc = reg_coeffs or {}
-    if problem.initial_vectors.shape[1] > 8:
-        return False
+    # any V: the per-seed group reductions here are plain XLA reshapes —
+    # the V <= 8 limit belongs to the Pallas kernels' in-kernel lane
+    # group-sums only (gate lifted round 5; V=12 parity-tested vs the
+    # vmapped forward in tests/test_xla_batch.py)
     trajectory_keys = ("forbidden_coeff_list", "forbidden", "speed_up")
     if any(k in rc for k in trajectory_keys) and not problem.use_inter_vecs:
         # match costs.py's loud requirement: trajectory penalties need

@@ -85,6 +85,34 @@ def test_matches_pallas_loss_with_extras_and_reg():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=2e-5)
 
 
+def test_v12_matches_vmapped_generic():
+    """V=12 concerned vectors on the column path (the V <= 8 gate was a
+    Pallas lane constraint, lifted for xla-cols in round 5): loss and
+    gradient parity vs the vmapped generic forward."""
+    N = 16
+    rng = np.random.default_rng(0)
+    A_ = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    H0 = (A_ + A_.conj().T) / 8
+    Hop = np.diag(np.arange(N, dtype=float)) / 4
+    U = np.eye(N, dtype=complex)
+    U[:2, :2] = [[0, 1], [1, 0]]
+    p = ControlProblem.build(
+        H0, [Hop, H0 @ Hop - Hop @ H0 + np.eye(N)], ["a", "b"], U, 4.0, 10,
+        list(range(12)), maxA=[1.0, 1.0], seed=0, Taylor_terms=[8, 1])
+    assert p.initial_vectors.shape[1] == 12
+    assert xla_cols_supported(p, None)
+    u = jnp.asarray(init_seeds(p, 3, jax.random.PRNGKey(1)))
+    lx = make_xla_batched_loss(p)
+    _, fx = lx(u)
+    _, loss_fn = make_forward(p, lean=True, engine="scan")
+    for s in range(3):
+        want, _ = loss_fn(u[s])
+        np.testing.assert_allclose(float(fx[s]), float(want), atol=1e-5)
+    gx = jax.grad(lambda a: jnp.sum(lx(a)[0]))(u)
+    gv = jax.vmap(jax.grad(lambda a: loss_fn(a)[0]))(u)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gv), atol=1e-5)
+
+
 def test_speed_up_matches_vmapped_generic():
     """speed_up computed in the scan carry (round 5) matches the vmapped
     generic forward's inter_vecs-based cost — loss and gradient
