@@ -123,6 +123,13 @@ def make_xla_batched_loss(
         su_alpha = float(rc["speed_up"]) / float(T)
         tgt_re_1 = tgt                                     # [M, V]
         tgt_im_1 = jnp.concatenate([-tgt[N:, :], tgt[:N, :]], axis=0)
+        # t=0 term: inter_vecs[0] is the RAW packed psi0 in BOTH modes
+        # (tensorflow_state.py:229-242 — U0 enters only from t=1), and it
+        # is seed-independent, so it is one scalar
+        psi0_raw = jnp.asarray(p.initial_vectors)
+        re0 = jnp.sum(psi0_raw * tgt_re_1)
+        im0 = jnp.sum(psi0_raw * tgt_im_1)
+        su0_scalar = (re0 * re0 + im0 * im0) * (1.0 / (V * V))
     pulse_rc = {k: v for k, v in rc.items()
                 if k not in _FORB_KEYS and k != "speed_up"}
     # matvec truncation (powers 0..order-1) for state transfer; unitary
@@ -177,9 +184,9 @@ def make_xla_batched_loss(
             im_s = jnp.sum(im[:C].reshape(S, V), axis=1)
             return (re_s * re_s + im_s * im_s) * (1.0 / (V * V))
 
-        # t=0 term of the speed_up sum (inter_vecs includes the initial
-        # state, tensorflow_state.py:229-242)
-        su0 = seed_overlap(psi_cols) if has_su \
+        # t=0 term of the speed_up sum (inter_vecs includes the RAW
+        # initial state, tensorflow_state.py:229-242; constant per seed)
+        su0 = jnp.full((S,), su0_scalar, dtype=jnp.float32) if has_su \
             else jnp.zeros((S,), dtype=jnp.float32)
 
         def step(carry, wt):                                   # psi [M, Cp]

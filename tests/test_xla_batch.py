@@ -138,18 +138,29 @@ def test_speed_up_matches_vmapped_generic():
 
 def test_speed_up_unitary_mode_cols():
     """speed_up in UNITARY mode on the column path (inter_vecs are
-    U_t @ psi0 there) against the generic forward."""
-    problem = _problem_unitary()
-    S = 2
-    u = jnp.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
-    reg = {"speed_up": 0.1}
-    lx = make_xla_batched_loss(problem, reg)
-    rx, fx = lx(u)
-    _, loss_fn = make_forward(problem, reg_coeffs=reg, lean=True,
-                              engine="scan")
-    for s in range(S):
-        want_reg, out = loss_fn(u[s])
-        np.testing.assert_allclose(float(rx[s]), float(want_reg), atol=1e-4)
+    U_t @ psi0 there) against the generic forward — including a
+    non-identity U0 (the t=0 term reads the RAW psi0 in both, U0 enters
+    from t=1; tensorflow_state.py:229-242)."""
+    a = q.annihilate(3)
+    U0, _ = np.linalg.qr(np.eye(3) - 0.4j * (a + a.conj().T))
+    for u0 in (None, U0):
+        problem = ControlProblem.build(
+            np.diag([0.0, 1.0, 1.95]) * 2 * np.pi,
+            [a + a.conj().T, 1j * (a - a.conj().T)], ["x", "y"],
+            q.transmon_gate(q.SIGMA_X, 3), 3.0, 12, [0], U0=u0,
+            maxA=[0.6, 0.6], seed=0, Taylor_terms=[8, 2],
+        )
+        S = 2
+        u = jnp.asarray(init_seeds(problem, S, jax.random.PRNGKey(3)))
+        reg = {"speed_up": 0.1}
+        lx = make_xla_batched_loss(problem, reg)
+        rx, fx = lx(u)
+        _, loss_fn = make_forward(problem, reg_coeffs=reg, lean=True,
+                                  engine="scan")
+        for s in range(S):
+            want_reg, out = loss_fn(u[s])
+            np.testing.assert_allclose(float(rx[s]), float(want_reg),
+                                       atol=1e-4)
 
 
 def test_unitary_with_scaling_cols():
