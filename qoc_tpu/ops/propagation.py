@@ -192,8 +192,34 @@ def _pscan_run(mats, weights, psi0, order, reps):
     return vecs, A, Q
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def pscan_chain(mats, weights, psi0, order, reps=1):
+    """Batched-propagator state chain — lane-tile padding wrapper.
+
+    At M just under a 128-lane tile (measured at M=120: BASELINE
+    config 4), XLA:TPU inserts a full {2,1,0}->{0,2,1} layout copy after
+    EVERY Taylor-series matmul (~30% of the iteration in the round-5
+    trace).  Zero-padding M up to the tile boundary removes the copies
+    outright: measured 114.9 -> ~136 it/s on config 4 despite 13% more
+    matmul data.  The pad is applied only when the data growth is small
+    ((Mp/M)^2 <= 1.3 — M=120 qualifies, M=400 -> 512 does not); padded
+    generator rows/columns are zero, so the padded block of Q is exactly
+    the identity acting on zero state rows — the math is unchanged, and
+    pad/slice are linear ops autodiff handles around the custom-VJP core
+    (``_pscan_chain_core``).
+    """
+    M = psi0.shape[0]
+    Mp = M + (-M) % 128
+    if Mp != M and 10 * Mp * Mp <= 13 * M * M:
+        pad = Mp - M
+        mats_p = jnp.pad(mats, ((0, 0), (0, pad), (0, pad)))
+        psi0_p = jnp.pad(psi0, ((0, pad), (0, 0)))
+        vecs = _pscan_chain_core(mats_p, weights, psi0_p, order, reps)
+        return vecs[:, :M, :]
+    return _pscan_chain_core(mats, weights, psi0, order, reps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pscan_chain_core(mats, weights, psi0, order, reps=1):
     """Batched-propagator state chain with a matvec-adjoint backward.
 
     Forward (the ``pscan`` engine): Q_t = Taylor_{0..order-1}(A_t / reps)
@@ -296,7 +322,7 @@ def _pscan_chain_bwd(order, reps, res, g):
     return matsbar, wbar, psi0_bar
 
 
-pscan_chain.defvjp(_pscan_chain_fwd, _pscan_chain_bwd)
+_pscan_chain_core.defvjp(_pscan_chain_fwd, _pscan_chain_bwd)
 
 
 def evolve_unitary_pscan(mats, weights, U0, psi0, order, scaling,
