@@ -54,10 +54,13 @@ def fused_fallback_reasons(
     if sweep_mats:
         reasons.append("per-seed generator sweep (mats_batch)")
     V = problem.initial_vectors.shape[1]
-    if V > 8:
-        reasons.append(f"V={V} concerned vectors > 8")
     traj = [k for k in ("forbidden_coeff_list", "forbidden", "speed_up")
             if k in rc]
+    if V > 16 or (V > 8 and traj):
+        # mega takes V <= 16 (V <= 8 with trajectory costs); the Pallas
+        # batch kernels take V <= 8; xla-cols takes any V
+        reasons.append(f"V={V} concerned vectors exceed the fused "
+                       "kernels' lane group-sum limit")
     if traj and not problem.use_inter_vecs:
         reasons.append("trajectory costs (%s) with use_inter_vecs=False"
                        % ", ".join(traj))
