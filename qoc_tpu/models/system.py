@@ -49,7 +49,8 @@ class ControlProblem:
     mats: np.ndarray             # [K+1, 2N, 2N]  -i*dt*H real iso, row 0 = H0
     mats_c: np.ndarray           # [K+1, N, N]  -i*dt*H complex64
     U0_iso: np.ndarray           # [2N, 2N]
-    U0_c: np.ndarray             # [N, N] complex64
+    U0_c: np.ndarray             # [N, N] complex128 (full input precision;
+    #                              device paths cast to f32/c64 themselves)
     target_unitary_iso: Optional[np.ndarray]   # [2N, 2N] (unitary mode)
     initial_vectors: np.ndarray  # [2N, V] stacked columns
     target_vectors: np.ndarray   # [2N, V] stacked columns
@@ -252,7 +253,7 @@ class ControlProblem:
             mats=mats,
             mats_c=mats_c,
             U0_iso=c_to_r_mat(U0).astype(np.float32),
-            U0_c=U0.astype(np.complex64),
+            U0_c=U0.astype(np.complex128),
             target_unitary_iso=target_unitary_iso,
             initial_vectors=initial_vectors,
             target_vectors=target_vectors,

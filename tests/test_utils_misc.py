@@ -87,3 +87,47 @@ def test_fidelity_f64_matches_scipy_oracle_unitary():
         ov += np.vdot(CNOT @ e, fin)
     F = abs(ov) ** 2 / 16
     assert abs(f64 - F) < 1e-12, (f64, F)
+
+
+def test_fidelity_f64_applies_u0():
+    """Non-identity U0 in unitary mode: fidelity_f64 must propagate from
+    U0 like the device forward (round-5 advisor fix — it previously
+    started from the raw initial vectors and was silently wrong), and it
+    must also agree with the device loss readout."""
+    import jax.numpy as jnp
+    import qoc_tpu as q
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.models.system import ControlProblem
+    from qoc_tpu.utils.analysis import fidelity_f64
+    from qoc_tpu.utils.verification import scipy_oracle_states
+
+    H0 = 2 * np.pi * 0.05 * np.array(q.SIGMA_Z, dtype=complex)
+    SX = np.array(q.SIGMA_X, dtype=complex)
+    SY = np.array(q.SIGMA_Y, dtype=complex)
+    th = 0.4
+    U0 = np.array([[np.cos(th), -1j * np.sin(th)],
+                   [-1j * np.sin(th), np.cos(th)]])
+    problem = ControlProblem.build(
+        H0, [SX, SY], ["x", "y"], SX, 5.0, 30, [0, 1], U0=U0,
+        maxA=[1.0, 1.0], seed=3)
+    rng = np.random.default_rng(4)
+    # bounded pulses so arcsin(uks/maxA) is exact for the device check
+    uks = 0.8 * rng.uniform(-1.0, 1.0, (2, 30))
+
+    f64 = fidelity_f64(problem, uks)
+    # independent oracle: propagate U0 @ e_v, target SX @ e_v
+    ov = 0.0 + 0.0j
+    for v in range(2):
+        e = np.zeros(2, complex)
+        e[v] = 1
+        fin = scipy_oracle_states(H0, [SX, SY], uks, 5.0, 30,
+                                  U0 @ e)[:, -1]
+        ov += np.vdot(SX @ e, fin)
+    F = abs(ov) ** 2 / 4
+    assert abs(f64 - F) < 1e-12, (f64, F)
+
+    # and the on-device f32 loss agrees to the f32 floor
+    forward, _ = make_forward(problem, engine="scan")
+    u_base = np.arcsin(np.clip(uks, -1, 1))
+    out = forward(jnp.asarray(u_base, dtype=jnp.float32))
+    assert abs((1.0 - float(out.loss)) - f64) < 1e-5
