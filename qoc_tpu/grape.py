@@ -319,14 +319,14 @@ def Grape(
             and mega_supported(problem, reg_coeffs, gradient_mode)
             and (engine == "mega" or jax.default_backend() != "cpu")
         )
-        from .routing import (announce, fused_fallback_reasons,
-                              resolve_single_engine)
+        from .routing import announce, fused_fallback_reasons
 
         if use_mega:
             announce("engine", "mega (fused multi-iteration Pallas kernel)")
         else:
-            resolved = resolve_single_engine(
-                problem, reg_coeffs, gradient_mode, engine, lean=True)
+            # the name the lean loss actually resolved to (attached by
+            # make_forward from the shared ladder functions)
+            resolved = getattr(loss_fn, "resolved_engine", engine)
             announce(
                 "engine", resolved,
                 reasons=(fused_fallback_reasons(

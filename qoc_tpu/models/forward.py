@@ -97,6 +97,24 @@ def make_forward(
         needs_inter = p.use_inter_vecs
     N = p.state_num
 
+    # resolve the concrete engine at build time (single source of truth:
+    # the ladders in ops/propagation.py) — consumed by the chain below
+    # and exposed as ``.resolved_engine`` for routing announcements
+    from ..ops.propagation import resolve_state_engine, resolve_unitary_engine
+
+    _on_accel = jax.default_backend() != "cpu"
+    if p.state_transfer:
+        resolved_engine = (engine if engine != "auto" else
+                           resolve_state_engine(2 * N, p.steps,
+                                                gradient_mode,
+                                                not needs_inter, _on_accel))
+    elif engine == "auto" and gradient_mode == "exact":
+        resolved_engine = resolve_unitary_engine(
+            2 * N, p.steps, p.taylor_scaling, gradient_mode, needs_inter,
+            _on_accel)
+    else:
+        resolved_engine = unitary_engine if engine == "auto" else engine
+
     def forward(u_base: jnp.ndarray, mats_in: jnp.ndarray | None = None) -> ForwardOutput:
         """mats_in overrides the closed-over generators — the hook the
         pod-scale Hamiltonian-sweep layer (parallel/batch.py) vmaps over."""
@@ -125,35 +143,11 @@ def make_forward(
                 evolve_unitary_tree,
                 step_propagators,
             )
-            from ..ops.pallas_tree import tree_chain_supported
 
-            M2 = 2 * N
-            use_tree = (
-                not needs_inter
-                and gradient_mode == "exact"
-                and (
-                    engine == "tree"
-                    or (
-                        engine == "auto"
-                        and jax.default_backend() != "cpu"
-                        and tree_chain_supported(M2, p.steps)
-                    )
-                )
-            )
-            reps = 1 << p.taylor_scaling
-            use_pscan = (
-                not use_tree
-                and gradient_mode == "exact"
-                and (
-                    engine == "pscan"
-                    or (
-                        engine == "auto"
-                        and jax.default_backend() != "cpu"
-                        and M2 >= 16
-                        and 8 * p.steps * reps * M2 * M2 < (1 << 31)
-                    )
-                )
-            )
+            use_tree = (resolved_engine == "tree" and not needs_inter
+                        and gradient_mode == "exact")
+            use_pscan = (resolved_engine == "pscan" and not use_tree
+                         and gradient_mode == "exact")
             if use_tree:
                 final_U = evolve_unitary_tree(
                     mats_, weights, U0, p.taylor_terms, p.taylor_scaling
@@ -209,6 +203,8 @@ def make_forward(
         out = forward(u_base, mats_in)
         return out.reg_loss, out
 
+    forward.resolved_engine = resolved_engine
+    loss_fn.resolved_engine = resolved_engine
     return forward, loss_fn
 
 
@@ -334,4 +330,6 @@ def _make_forward_complex(p, reg_coeffs, engine, remat, lean):
         out = forward(u_base, mats_in)
         return out.reg_loss, out
 
+    forward.resolved_engine = "complex"
+    loss_fn.resolved_engine = "complex"
     return forward, loss_fn

@@ -168,6 +168,47 @@ def chain_product_tree(P):
 
 
 # ---------------------------------------------------------------------------
+# Engine ladders (single source of truth — used by the chains, by
+# models/forward.py, and by routing.py's announcements)
+# ---------------------------------------------------------------------------
+
+
+def resolve_state_engine(M: int, T: int, gradient_mode: str,
+                         final_only: bool, on_accel: bool) -> str:
+    """The state-transfer auto ladder (measured on TPU v5lite, see the
+    state_transfer_chain docstring): tree (fused, small final-only) ->
+    pscan (matvec-adjoint, M >= 16) -> associative (tiny M with
+    trajectory) -> scan (CPU / fallback)."""
+    from .pallas_tree import tree_chain_supported
+
+    if gradient_mode == "exact" and on_accel:
+        if final_only and tree_chain_supported(M, T):
+            return "tree"
+        if M >= 16 and 8 * T * M * M < (1 << 31):
+            return "pscan"
+        if 4 * T * M * M * 3 < (1 << 30):
+            return "associative"
+    return "scan"
+
+
+def resolve_unitary_engine(M: int, T: int, scaling: int,
+                           gradient_mode: str, needs_inter: bool,
+                           on_accel: bool) -> str:
+    """The unitary-mode auto ladder (models/forward.py): tree (fused
+    final-only) -> pscan (rank-V adjoint via squaring expansion, M >= 16)
+    -> associative / scan by memory."""
+    from .pallas_tree import tree_chain_supported
+
+    if gradient_mode == "exact" and on_accel:
+        if not needs_inter and tree_chain_supported(M, T):
+            return "tree"
+        reps = 1 << scaling
+        if M >= 16 and 8 * T * reps * M * M < (1 << 31):
+            return "pscan"
+    return pick_engine(M, T)
+
+
+# ---------------------------------------------------------------------------
 # State-transfer chain
 # ---------------------------------------------------------------------------
 
@@ -440,10 +481,8 @@ def state_transfer_chain(
         the reference gradient mode whose custom VJP is per-step).
     """
     if engine == "auto":
-        from .pallas_tree import tree_chain_supported
-
-        M = mats.shape[-1]
-        # Engine ladder for exact gradients on accelerators:
+        # Engine ladder for exact gradients on accelerators (single
+        # source: resolve_state_engine):
         #   tree   — fused Pallas kernel, small dims (pi pulse: 23us/iter)
         #   pscan  — batched Taylor propagators + serial state sweep with
         #            the matvec-adjoint VJP; wins once per-step matrices
@@ -453,18 +492,9 @@ def state_transfer_chain(
         #   associative — batched XLA ops; best at tiny M (M=4: 3.5x over
         #            pscan — the serial matvec latency dominates there)
         #   scan   — serial matvecs; best on CPU (0.08ms) and for huge dims.
-        T = weights.shape[-1]
-        if gradient_mode == "exact" and jax.default_backend() != "cpu":
-            if final_only and tree_chain_supported(M, T):
-                engine = "tree"
-            elif M >= 16 and 8 * T * M * M < (1 << 31):
-                engine = "pscan"
-            elif 4 * T * M * M * 3 < (1 << 30):
-                engine = "associative"
-            else:
-                engine = "scan"
-        else:
-            engine = "scan"
+        engine = resolve_state_engine(
+            mats.shape[-1], weights.shape[-1], gradient_mode, final_only,
+            jax.default_backend() != "cpu")
 
     if engine == "tree" and gradient_mode == "exact" and final_only:
         from .pallas_tree import fused_tree_chain

@@ -77,13 +77,14 @@ def fused_fallback_reasons(
 def resolve_single_engine(problem, reg_coeffs, gradient_mode: str,
                           engine: str, lean: bool = True) -> str:
     """The concrete engine name the generic (non-mega) Grape forward
-    resolves to — mirrors the ladders in models/forward.py and
-    ops/propagation.py so the announcement matches what actually runs."""
+    resolves to — delegates to the same ladder functions
+    (ops/propagation.py resolve_*_engine) models/forward.py uses, so the
+    announcement cannot drift from what actually runs."""
     import jax
 
     from .models.forward import INTER_VEC_COSTS
-    from .ops.pallas_tree import tree_chain_supported
-    from .ops.propagation import pick_engine
+    from .ops.propagation import (resolve_state_engine,
+                                  resolve_unitary_engine)
 
     p = problem
     M = 2 * p.state_num
@@ -93,30 +94,13 @@ def resolve_single_engine(problem, reg_coeffs, gradient_mode: str,
     else:
         needs_inter = p.use_inter_vecs
     on_accel = jax.default_backend() != "cpu"
+    if engine != "auto":
+        return engine
     if p.state_transfer:
-        if engine != "auto":
-            return engine
-        if gradient_mode == "exact" and on_accel:
-            if not needs_inter and tree_chain_supported(M, p.steps):
-                return "tree"
-            if M >= 16 and 8 * p.steps * M * M < (1 << 31):
-                return "pscan"
-            if 4 * p.steps * M * M * 3 < (1 << 30):
-                return "associative"
-        return "scan"
-    use_tree = (
-        not needs_inter
-        and gradient_mode == "exact"
-        and (engine == "tree"
-             or (engine == "auto" and on_accel
-                 and tree_chain_supported(M, p.steps)))
-    )
-    if use_tree:
-        return "tree"
-    reps = 1 << p.taylor_scaling
-    if gradient_mode == "exact" and (
-            engine == "pscan"
-            or (engine == "auto" and on_accel and M >= 16
-                and 8 * p.steps * reps * M * M < (1 << 31))):
-        return "pscan"
-    return pick_engine(M, p.steps) if engine == "auto" else engine
+        return resolve_state_engine(M, p.steps, gradient_mode,
+                                    not needs_inter, on_accel)
+    if gradient_mode != "exact":
+        return resolve_unitary_engine(M, p.steps, 0, "reference",
+                                      needs_inter, False)
+    return resolve_unitary_engine(M, p.steps, p.taylor_scaling,
+                                  gradient_mode, needs_inter, on_accel)

@@ -170,6 +170,37 @@ def test_routing_line_fires_on_fallback(capsys):
     assert "fallback" in cap or "mega" in cap
 
 
+def test_resolved_engine_attribute_matches_routing():
+    """make_forward's .resolved_engine and routing.resolve_single_engine
+    come from the same ladder functions — assert they agree across modes
+    (drift here would make the printed routing line lie)."""
+    from qoc_tpu.models.forward import make_forward
+    from qoc_tpu.routing import resolve_single_engine
+
+    a = q.annihilate(3)
+    psi0 = np.zeros(3, complex)
+    psi0[0] = 1
+    tgt = np.zeros(3, complex)
+    tgt[1] = 1
+    st = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.9]), [a + a.conj().T], ["x"], [tgt],
+        2.0, 8, [psi0], state_transfer=True, maxA=[1.0], seed=0)
+    un = ControlProblem.build(
+        np.diag([0.0, 1.0, 1.9]), [a + a.conj().T], ["x"],
+        q.transmon_gate(q.SIGMA_X, 3), 2.0, 8, [0], maxA=[1.0], seed=0,
+        Taylor_terms=[8, 1])
+    for prob in (st, un):
+        for rc in (None, {"speed_up": 0.1}):
+            for eng in ("auto", "scan", "pscan"):
+                _, loss_fn = make_forward(prob, reg_coeffs=rc,
+                                          engine=eng, lean=True)
+                want = resolve_single_engine(prob, rc, "exact", eng,
+                                             lean=True)
+                assert loss_fn.resolved_engine == want, (
+                    prob.state_transfer, rc, eng,
+                    loss_fn.resolved_engine, want)
+
+
 def test_routing_quiet_env(capsys, monkeypatch):
     monkeypatch.setenv("QOC_TPU_QUIET", "1")
     from qoc_tpu.routing import announce
