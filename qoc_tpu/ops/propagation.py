@@ -8,15 +8,18 @@ propagation is re-designed TPU-first:
     (``weighted_hamiltonians``) and the per-step matrix exponentials are one
     *batched* Taylor evaluation ``[T, M, M]`` — every matmul in the series is
     a T-way batched MXU op instead of T small serial ones.
-  * **Unitary chain** has two interchangeable engines:
+  * **Unitary chain** engines:
+      - ``pscan`` (round-5 default at M >= 16): the squaring branch
+        expands into repeated serial sub-steps of the pre-squared Taylor
+        propagator and the rank-V matvec-adjoint VJP carries the
+        gradient — see ``pscan_chain`` / ``evolve_unitary_pscan``.
       - ``associative``: ``lax.associative_scan`` over batched matmul —
         O(log T) depth, all compute batched on the MXU.  This is the
-        parallel-in-time option SURVEY.md section 5 calls out; it is the
-        default for small/medium dimensions where the extra O(T log T) matmul
-        flops are free compared to the serial latency chain.
+        parallel-in-time option SURVEY.md section 5 calls out; the
+        default only for tiny dimensions now.
       - ``scan``: ``lax.scan`` carrying (U, psi) — flops-optimal for large M.
-  * **State transfer** is a ``lax.scan`` of Taylor mat-vecs (cheap; never
-    forms the unitary), mirroring tensorflow_state.py:244-261.
+  * **State transfer** engines mirror the same ladder (tree / pscan /
+    associative / scan), mirroring tensorflow_state.py:244-261 semantics.
 
 Gradient modes:
   * ``exact``  — plain JAX autodiff through the batched series (the forward

@@ -2,7 +2,7 @@
 
 Plays the role of helper_functions/qutip_verification.py:5-86: re-simulate
 the optimized pulses stored in a run file with an *independent* integrator
-and compare the stored intermediate states.  Three oracles:
+and compare the stored intermediate states.  Four oracles:
 
   * ``scipy`` (always available): dense piecewise-constant propagation with
     ``scipy.linalg.expm`` in float64 — a different algorithm (Pade) and a
