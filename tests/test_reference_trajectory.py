@@ -347,13 +347,17 @@ def test_exact_unitary_scaling_gradient_matches_float64():
     u0 = np.asarray(problem.u0_base, np.float64)
     loss_np, g_np = numpy_exact_unitary_grad(problem, u0)
 
-    _, loss_fn = make_forward(problem, engine="scan", lean=True)
-    loss_dev, out = loss_fn(jnp.asarray(problem.u0_base))
-    g_dev = np.asarray(
-        jax.grad(lambda u: loss_fn(u)[0])(jnp.asarray(problem.u0_base)))
-    assert np.isclose(float(out.loss), loss_np, atol=1e-5)
     scale = max(np.max(np.abs(g_np)), 1e-8)
-    assert np.max(np.abs(g_dev - g_np)) / scale < 1e-4
+    # 'scan' = autodiff through the squaring chain; 'pscan' = the
+    # round-5 matvec-adjoint VJP (squaring branch expanded into repeated
+    # sub-steps) — BOTH must match the hand-derived float64 adjoint
+    for eng in ("scan", "pscan"):
+        _, loss_fn = make_forward(problem, engine=eng, lean=True)
+        loss_dev, out = loss_fn(jnp.asarray(problem.u0_base))
+        g_dev = np.asarray(
+            jax.grad(lambda u: loss_fn(u)[0])(jnp.asarray(problem.u0_base)))
+        assert np.isclose(float(out.loss), loss_np, atol=1e-5), eng
+        assert np.max(np.abs(g_dev - g_np)) / scale < 1e-4, eng
 
 
 @pytest.mark.slow
