@@ -58,9 +58,9 @@ def build_dim200():
     return problem, n_op
 
 
-def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
+def run_full(n_seeds=4096, n_grid=64, max_iterations=1200,
              conv_target=1e-4, out_json="CONFIG5_RESULTS.json",
-             chunk=2048):
+             chunk=2048, rate=0.06):
     """BASELINE config 5 at spec: n_seeds (random pulse inits) x n_grid
     (cavity detunings, repeated across the seed axis) on dim 200 through
     the column-batched backend.  The detuning rides as one constant-weight
@@ -93,9 +93,13 @@ def run_full(n_seeds=4096, n_grid=64, max_iterations=600,
                   f"{np.min(losses):.2e} converged "
                   f"{int(np.sum(done))}/{c1 - c0}", flush=True)
 
+        # rate 0.06 measured optimal for this problem class (512-seed LR
+        # sweep, round 5): all seeds cross the 1e-4 gate in ~700-750
+        # iterations vs ~1400 at the 0.02 default — 0.04 needs ~1000,
+        # 0.08 overshoots (~970)
         out = batched_grape_adam(
             problem, n_seeds=c1 - c0,
-            convergence={"rate": 0.02, "update_step": 50,
+            convergence={"rate": rate, "update_step": 50,
                          "max_iterations": max_iterations,
                          "conv_target": conv_target},
             seed=c0 // chunk, backend="xla-cols",
@@ -192,11 +196,12 @@ def main():
                     help="run BASELINE config 5 at spec (4096 seeds, dim 200)")
     ap.add_argument("--seeds", type=int, default=4096)
     ap.add_argument("--grid", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--iters", type=int, default=1200)
+    ap.add_argument("--rate", type=float, default=0.06)
     args = ap.parse_args()
     if args.full:
         run_full(n_seeds=args.seeds, n_grid=args.grid,
-                 max_iterations=args.iters)
+                 max_iterations=args.iters, rate=args.rate)
     else:
         run_quick()
 
