@@ -423,11 +423,12 @@ def main():
             "pct_of_hbm_roofline": round(
                 100 * (hbm_bytes_dim60_iter() / HBM_BW)
                 * m["dim60"]["iters_per_sec"], 1),
-            "note": "pscan engine (round 5): HBM-bound batched Taylor + "
-                    "power ladders + ~2ms serial matvec latency; the "
-                    "pre-round-5 associative engine spent 12ms/iter in "
-                    "host-spilled (S(1)) scan combines — see dim60_trace "
-                    "and PERF.md",
+            "note": "pscan engine + 128-lane tile padding (round 5): "
+                    "HBM-bound batched Taylor + power ladders + ~0.8ms "
+                    "serial matvec latency; the pre-round-5 associative "
+                    "engine spent 12ms/iter in host-spilled (S(1)) scan "
+                    "combines and unpadded M=120 paid per-matmul layout "
+                    "copies — see dim60_trace and PERF.md",
         },
         "pi_pulse": {
             **{k: round(v, 2) for k, v in m["pi_pulse"].items()},
