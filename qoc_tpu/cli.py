@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -89,6 +90,13 @@ def cmd_run(args) -> int:
         cfg["data_path"] = args.data_path
     if args.seed is not None:
         cfg["seed"] = args.seed
+    if cfg.get("save", True):
+        # friendlier than Grape's bare errors for spec-driven runs:
+        # default the run name to the spec filename and the output
+        # directory to the cwd
+        cfg.setdefault("file_name",
+                       os.path.splitext(os.path.basename(args.config))[0])
+        cfg.setdefault("data_path", ".")
     res = Grape(**cfg)
     print(json.dumps({
         "loss": res.loss,

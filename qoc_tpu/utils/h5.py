@@ -155,7 +155,10 @@ class H5File(h5py.File if HAVE_H5PY else object):
 
 
 def next_run_path(data_path: str, file_name: str) -> str:
-    """Auto-incrementing 5-digit-prefixed run file path (grape.py:45-51)."""
+    """Auto-incrementing 5-digit-prefixed run file path (grape.py:45-51).
+    Creates ``data_path`` if absent (the reference crashes in h5py
+    instead)."""
+    os.makedirs(data_path, exist_ok=True)
     file_num = 0
     while os.path.exists(
         os.path.join(data_path, str(file_num).zfill(5) + "_" + file_name + ".h5")
